@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability: a named query (driver contract) + optional
+  * DuckDB oracle SQL (hash-checked by the driver at sf0.01).
+  *
+  * Column names MUST match between `build`'s output and `oracle`'s
+  * projection — the driver sorts columns by name before hashing.
+  */
+final case class GQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    tags: Set[String] = Set.empty)
+
+object Registry {
+  /** Full inventory, mirrors SURVEY.md §2. */
+  lazy val all: Seq[GQuery] =
+    tpch.TpchQueries.all ++
+      operators.Relational.all ++
+      text.TextAnalysis.all ++
+      dedup.Dedup.all ++
+      similarity.Ann.all ++
+      multimodal.Multimodal.all ++
+      streaming.Streams.all ++
+      tpch.TpchGen.all
+
+  lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+
+  /** Headline queries for the bench loop (one per subsystem family). */
+  lazy val benchNames: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q9_profit", "q13_customer_distribution",
+    "q18_large_orders", "q21_waiting_suppliers",
+    "op_window_running", "op_asof_join",
+    "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
+    "gen_rowcounts")
+}

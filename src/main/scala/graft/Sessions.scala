@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] harness but with settings that
+  * transfer to a real cluster: AQE on (runtime re-plan, skew-join
+  * splitting, shuffle coalescing), UTC session time zone (oracle
+  * parity), and an explicit shuffle-partition count instead of the
+  * default 200 (on a cluster this is sized to 2-3x total cores; the
+  * driver env pins it to the local core count).
+  */
+object Sessions {
+  def local(appName: String = "graft", cpus: Int = 4): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
