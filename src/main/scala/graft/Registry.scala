@@ -26,7 +26,12 @@ object Registry {
       streaming.Streams.all ++
       tpch.TpchGen.all
 
-  lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, GQuery] = {
+    val names = all.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    all.map(q => q.name -> q).toMap
+  }
 
   /** Headline queries for the bench loop (one per subsystem family). */
   lazy val benchNames: Seq[String] = Seq(
