@@ -1,5 +1,464 @@
 package graft.operators
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 relational operator micro-suite: one oracle-checked entry per
+  * engine capability the reference gets for free from DataFusion
+  * (windows, grouping analytics, set ops, join variants, range/as-of
+  * joins, sessionisation, sketches).
+  *
+  * Numeric discipline: every floating aggregate is discretized to
+  * exact integer cents (see [[graft.tpch.TpchQueries]]) so Spark's
+  * partial+final aggregation and DuckDB's sequential aggregation
+  * produce bit-identical results.
+  *
+  * Scale notes (100 TB posture) are per-op scaladoc; the common rules:
+  * window functions partition on a real key (never a global window on
+  * fact data), range joins are bucketed (never BroadcastNestedLoop on
+  * the raw inequality), as-of joins use the union+window plan (single
+  * shuffle by key, no per-row subquery).
+  */
 object Relational {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
+
+  // ------------------------------------------------------------ windows
+
+  /** rank / dense_rank over value, row_number with a total tie-break.
+    * Partitioned window → scales (shuffle by event_type; no global sort). */
+  val windowRank: GQuery = GQuery(
+    "op_window_rank",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val byVal = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+      val total = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      e.select(col("event_type"), col("event_id"), col("value"),
+          rank().over(byVal).cast("long").as("rnk"),
+          dense_rank().over(byVal).cast("long").as("drnk"),
+          row_number().over(total).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT event_type, event_id, value,
+               rank()       OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        FROM events)
+      WHERE rn <= 5"""),
+    tags = Set("relational"))
+
+  /** Running sum + moving average + lag/lead frames, partitioned by
+    * user. Exact integer cents keep the running sums engine-stable. */
+  val windowRunning: GQuery = GQuery(
+    "op_window_running",
+    (s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id") < 10)
+        .withColumn("v_cents", cents(col("value")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-3, 0)
+      e.select(col("user_id"), col("event_id"), col("ts"), col("v_cents"),
+          sum(col("v_cents")).over(run).as("running_cents"),
+          round(avg(col("v_cents")).over(mov), 4).as("moving_avg_cents"),
+          lag(col("v_cents"), 1).over(w).as("prev_cents"),
+          lead(col("v_cents"), 1).over(w).as("next_cents"))
+    },
+    Some("""
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+             round(avg(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_cents,
+             lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents,
+             lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_cents
+      FROM events WHERE user_id < 10"""),
+    tags = Set("relational"))
+
+  /** Top-k per group: the window+filter plan (rank pushes the k-limit
+    * into each partition; no global sort of the fact table). */
+  val topkPerGroup: GQuery = GQuery(
+    "op_topk_per_group",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("v_cents", cents(col("value")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v_cents").desc, col("event_id"))
+      e.select(col("event_type"), col("event_id"), col("v_cents"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS rn
+        FROM events)
+      WHERE rn <= 3"""),
+    tags = Set("relational"))
+
+  // ------------------------------------------ grouping analytics
+
+  private def rollupOracle(kind: String): String = s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+      FROM lineitem
+      GROUP BY $kind (l_returnflag, l_linestatus)"""
+
+  /** GROUP BY ROLLUP — partial+final agg over the expanded grouping-id,
+    * single shuffle. */
+  val rollup: GQuery = GQuery(
+    "op_rollup",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price")),
+    Some(rollupOracle("ROLLUP")),
+    tags = Set("relational"))
+
+  /** GROUP BY CUBE. */
+  val cube: GQuery = GQuery(
+    "op_cube",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price")),
+    Some(rollupOracle("CUBE")),
+    tags = Set("relational"))
+
+  /** Explicit GROUPING SETS ((flag), (status), ()). */
+  val groupingSets: GQuery = GQuery(
+    "op_grouping_sets",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price")),
+    Some(rollupOracle("GROUPING SETS")
+      .replace("GROUPING SETS (l_returnflag, l_linestatus)",
+        "GROUPING SETS ((l_returnflag), (l_linestatus), ())")),
+    tags = Set("relational"))
+
+  /** Pivot long→wide (oracle via CASE): per returnflag, a count column
+    * per linestatus. Explicit value list → no extra distinct-values job. */
+  val pivot: GQuery = GQuery(
+    "op_pivot",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1))),
+    Some("""
+      SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+             sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+      FROM lineitem GROUP BY l_returnflag"""),
+    tags = Set("relational"))
+
+  /** Unpivot wide→long over a per-flag aggregate. */
+  val unpivot: GQuery = GQuery(
+    "op_unpivot",
+    (s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents")), "metric", "metric_value")
+    },
+    Some("""
+      SELECT l_returnflag, 'qty_cents' AS metric,
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS metric_value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'price_cents' AS metric,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS metric_value
+      FROM lineitem GROUP BY l_returnflag"""),
+    tags = Set("relational"))
+
+  // ------------------------------------------------------- join variants
+
+  /** Left-semi: customers with ≥1 urgent order. */
+  val semiJoin: GQuery = GQuery(
+    "op_semi_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""),
+    tags = Set("relational"))
+
+  /** Left-anti: customers with no order on/after 2000-01-01. */
+  val antiJoin: GQuery = GQuery(
+    "op_anti_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')"""),
+    tags = Set("relational"))
+
+  /** Full outer with null-key handling: per-nation customer counts vs
+    * rich-supplier counts (filter induces nations missing on one side). */
+  val fullOuterJoin: GQuery = GQuery(
+    "op_full_outer_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val su = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("s_cnt"))
+      c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("c_cnt"), col("s_cnt"))
+    },
+    Some("""
+      SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, c_cnt, s_cnt
+      FROM (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY 1) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey, count(*) AS s_cnt FROM supplier
+            WHERE s_acctbal > 5000 GROUP BY 1) s
+        ON c_nationkey = s_nationkey"""),
+    tags = Set("relational"))
+
+  /** UNION / EXCEPT / INTERSECT (distinct semantics), tagged into one
+    * result. A = building-segment customers, B = customers with an
+    * urgent order. */
+  val unionExceptIntersect: GQuery = GQuery(
+    "op_union_except_intersect",
+    (s, dir) => {
+      val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct().withColumn("tag", lit("union"))
+        .unionByName(a.except(b).withColumn("tag", lit("except")))
+        .unionByName(a.intersect(b).withColumn("tag", lit("intersect")))
+        .select(col("tag"), col("c_custkey"))
+    },
+    Some("""
+      WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           b AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'union' AS tag, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT 'except', c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT 'intersect', c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)"""),
+    tags = Set("relational"))
+
+  /** DISTINCT / dropDuplicates. */
+  val distinctOp: GQuery = GQuery(
+    "op_distinct",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates("l_returnflag", "l_linestatus"),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+    tags = Set("relational"))
+
+  // ------------------------------------------------- nested / aggregates
+
+  /** Explode/unnest then re-aggregate: word counts over documents.
+    * Generator-side explode stays in codegen; the re-agg is a normal
+    * partial+final count. */
+  val explodedAgg: GQuery = GQuery(
+    "op_exploded_agg",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50),
+    Some("""
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word HAVING count(*) >= 50"""),
+    tags = Set("relational"))
+
+  /** Exact interpolated percentiles + median per group. Exact
+    * percentile needs a per-group sort — fine on grouped data; the
+    * documented scale path for ungrouped fact columns is
+    * approx_percentile (see op_approx_distinct for the sketch family). */
+  val percentiles: GQuery = GQuery(
+    "op_percentiles",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 4).as("p99"),
+          count(lit(1)).as("cnt")),
+    Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4)  AS p50,
+             round(quantile_cont(value, 0.9), 4)  AS p90,
+             round(quantile_cont(value, 0.99), 4) AS p99,
+             count(*) AS cnt
+      FROM events GROUP BY event_type"""),
+    tags = Set("relational"))
+
+  /** Filtered aggregates — FILTER (WHERE …) clauses. */
+  val conditionalAgg: GQuery = GQuery(
+    "op_conditional_agg",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count(*) FILTER (WHERE value > 100)").as("cnt_big"),
+          expr("sum(v_cents) FILTER (WHERE user_id % 2 = 0)").as("sum_even_users"),
+          expr("count(DISTINCT user_id) FILTER (WHERE value <= 100)").as("users_small")),
+    Some("""
+      SELECT event_type,
+             count(*) FILTER (WHERE value > 100) AS cnt_big,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE user_id % 2 = 0) AS sum_even_users,
+             count(DISTINCT user_id) FILTER (WHERE value <= 100) AS users_small
+      FROM events GROUP BY event_type"""),
+    tags = Set("relational"))
+
+  // ------------------------------------------------- interval / temporal
+
+  /** Range (interval) join: events × 60 deterministic 5-hour windows,
+    * bucketed by day so the join is an equi-join on the bucket with the
+    * range predicate as residual — never a BroadcastNestedLoopJoin over
+    * the raw inequality. Windows spanning a day boundary are exploded
+    * into both covering buckets (sequence→explode). */
+  val rangeJoin: GQuery = GQuery(
+    "op_range_join",
+    (s, dir) => {
+      val wins = s.range(60).toDF("window_id")
+        .withColumn("w_start", timestamp_seconds(
+          unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")) + col("window_id") * 11 * 3600))
+        .withColumn("w_end", timestamp_seconds(
+          unix_timestamp(col("w_start")) + 5 * 3600))
+      val winBuckets = wins.withColumn("bucket",
+        explode(sequence(
+          floor(unix_timestamp(col("w_start")) / 86400).cast("long"),
+          floor((unix_timestamp(col("w_end")) - 1) / 86400).cast("long"))))
+      val e = Tables.events(s, dir)
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+        .withColumn("v_cents", cents(col("value")))
+      e.join(winBuckets, Seq("bucket"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v_cents")).as("sum_cents"))
+    },
+    Some("""
+      WITH wins AS (
+        SELECT CAST(i AS BIGINT) AS window_id,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 39600) AS w_start,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 39600 + 18000) AS w_end
+        FROM range(60) t(i))
+      SELECT window_id, count(*) AS cnt,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+      FROM events JOIN wins ON ts >= w_start AND ts < w_end
+      GROUP BY window_id"""),
+    tags = Set("relational"))
+
+  /** As-of join: each purchase matched to the user's latest click at or
+    * before it. Plan: tag+union both sides, one shuffle by user, one
+    * window pass carrying the last click forward (clicks sort before
+    * purchases on ts ties → '≤' semantics) — no per-row subquery, no
+    * range join. Oracle is DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: GQuery = GQuery(
+    "op_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+          lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"),
+          col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+    tags = Set("relational"))
+
+  /** Gaps-and-islands sessionisation: a session breaks after 30 idle
+    * minutes. lag → boundary flag → running sum (session id) → per-
+    * session aggregate; one shuffle by user, two window passes. */
+  val sessionize: GQuery = GQuery(
+    "op_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ids AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM ids GROUP BY user_id, session_id"""),
+    tags = Set("relational"))
+
+  /** HLL sketch: approx_count_distinct per group (rows-only check; the
+    * ±5%-of-exact tolerance is asserted in RelationalSpec). The sketch
+    * is mergeable → partial+final, no shuffle of raw user ids. */
+  val approxDistinct: GQuery = GQuery(
+    "op_approx_distinct",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt")),
+    None,
+    tags = Set("relational"))
+
+  def all: Seq[GQuery] = Seq(
+    windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
+    pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
+    distinctOp, explodedAgg, percentiles, conditionalAgg, rangeJoin,
+    asofJoin, sessionize, approxDistinct)
 }
