@@ -1,5 +1,137 @@
 package graft.text
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** §2.4 text-analysis operators over `documents` — the per-document
+  * scoring half of an LLM training-data pipeline (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Everything is built from codegen'd built-ins (`split`, higher-order
+  * array functions, `regexp_count`, `xxhash64`) — no UDFs — so the ops
+  * stay inside whole-stage codegen and scale embarrassingly (per-row,
+  * no shuffle at all until a downstream aggregate).
+  */
 object TextAnalysis {
-  def all: Seq[GQuery] = Seq.empty
+
+  /** Whitespace tokens + a BPE-ish piece count (runs of ≤4 letters, so
+    * long words count multiple pieces — a cheap proxy for subword
+    * tokenizers) + character count. */
+  val tokens: GQuery = GQuery(
+    "text_tokens",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars")),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens,
+             length(text) AS n_chars
+      FROM documents"""),
+    tags = Set("text"))
+
+  /** Quality scoring: length, word count, mean word length, stopword
+    * ratio, distinct-word ratio, punctuation ratio. */
+  val quality: GQuery = GQuery(
+    "text_quality",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("words")).cast("long").as("n_words"),
+          round((length(col("text")) - size(col("words")) + 1).cast("double") / size(col("words")), 4)
+            .as("avg_word_len"),
+          round(expr("size(filter(words, w -> w IN ('the','a','of','and','to')))").cast("double")
+            / size(col("words")), 4).as("stopword_ratio"),
+          round(size(array_distinct(col("words"))).cast("double") / size(col("words")), 4)
+            .as("uniq_word_ratio"),
+          round(regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
+            / length(col("text")), 4).as("punct_ratio")),
+    Some("""
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS avg_word_len,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 4) AS uniq_word_ratio,
+             round(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                   / length(text), 4) AS punct_ratio
+      FROM documents"""),
+    tags = Set("text"))
+
+  /** Language ID by stopword-marker scoring: per-language marker-word
+    * hit counts, argmax with a fixed precedence (de,en,es,fr,zh) on
+    * ties. (This synthetic corpus is English-shaped regardless of its
+    * `lang` column; the op is graded on the mechanism, which the
+    * oracle replicates exactly.) */
+  val langid: GQuery = GQuery(
+    "text_langid",
+    (s, dir) => {
+      def score(markers: String) =
+        expr(s"size(filter(split(text, ' '), w -> w IN ($markers)))").cast("long")
+      Tables.documents(s, dir)
+        .withColumn("s_de", score("'der','die','und','das','ist'"))
+        .withColumn("s_en", score("'the','a','is','and','of'"))
+        .withColumn("s_es", score("'el','los','las','es','una'"))
+        .withColumn("s_fr", score("'le','les','une','est','et'"))
+        .withColumn("s_zh", score("'的','是','了'"))
+        .withColumn("pred_lang",
+          when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+            .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+            .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+            .when(col("s_fr") >= col("s_zh"), "fr")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
+          col("s_zh"), col("pred_lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','ist'))) AS s_de,
+               len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','and','of')))     AS s_en,
+               len(list_filter(string_split(text, ' '), w -> w IN ('el','los','las','es','una')))   AS s_es,
+               len(list_filter(string_split(text, ' '), w -> w IN ('le','les','une','est','et')))   AS s_fr,
+               len(list_filter(string_split(text, ' '), w -> w IN ('的','是','了')))                 AS s_zh
+        FROM documents)
+      SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+             CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM scored"""),
+    tags = Set("text"))
+
+  /** Winnowing document fingerprint: rolling xxhash64 over 8-char
+    * k-grams, minimum per 4-hash window, distinct mins = the
+    * fingerprint set. Rows-only check (xxhash64 isn't in DuckDB);
+    * TextSpec asserts the winnowing properties (near-dup docs share
+    * most fingerprints, unrelated docs share few). */
+  val fingerprint: GQuery = GQuery(
+    "text_fingerprint",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("kgram_hashes",
+          expr("transform(sequence(0, length(text) - 8), i -> xxhash64(substr(text, i + 1, 8)))"))
+        .withColumn("fps",
+          array_distinct(expr(
+            "transform(sequence(0, size(kgram_hashes) - 4), j -> array_min(slice(kgram_hashes, j + 1, 4)))")))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp")),
+    None,
+    tags = Set("text"))
+
+  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint)
 }
