@@ -39,10 +39,18 @@ def main(sf_dir, out_dir):
             wrows, wcols = want.fetchall(), [d[0] for d in want.description]
         except Exception as e:
             print(f"ERROR    {name}: {e}"); n_bad += 1; continue
+        # the driver's hash compare is TYPE-sensitive: DuckDB sums over
+        # integers yield HUGEINT while Spark emits int64 — repr() hides
+        # that (both print as int), so compare declared types as well
+        gtypes = sorted((d[0], str(d[1])) for d in got.description)
+        wtypes = sorted((d[0], str(d[1])) for d in want.description)
         g, gc = canon(grows, gcols)
         w, wc = canon(wrows, wcols)
         if gc != wc:
             print(f"SCHEMA   {name}: spark={gc} oracle={wc}"); n_bad += 1
+        elif gtypes != wtypes:
+            diff = [(a, b) for a, b in zip(gtypes, wtypes) if a != b]
+            print(f"TYPES    {name}: {diff}"); n_bad += 1
         elif len(g) != len(w):
             print(f"ROWS     {name}: spark={len(g)} oracle={len(w)}"); n_bad += 1
         elif g != w:

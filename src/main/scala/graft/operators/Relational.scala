@@ -71,9 +71,9 @@ object Relational {
     Some("""
       SELECT user_id, event_id, ts,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
              round(avg(CAST(floor(value * 100 + 0.5) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_cents,
@@ -158,11 +158,16 @@ object Relational {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(count(lit(1))),
+        .agg(count(lit(1)))
+        // a (flag, status) combo absent from the data pivots to NULL;
+        // the CASE-sum oracle yields 0 — make empty combos agree
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O")),
     Some("""
       SELECT l_returnflag,
-             sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-             sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
       FROM lineitem GROUP BY l_returnflag"""),
     tags = Set("relational"))
 
@@ -179,11 +184,11 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag, 'qty_cents' AS metric,
-             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS metric_value
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS metric_value
       FROM lineitem GROUP BY l_returnflag
       UNION ALL
       SELECT l_returnflag, 'price_cents' AS metric,
-             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS metric_value
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS metric_value
       FROM lineitem GROUP BY l_returnflag"""),
     tags = Set("relational"))
 
@@ -333,7 +338,7 @@ object Relational {
     Some("""
       SELECT event_type,
              count(*) FILTER (WHERE value > 100) AS cnt_big,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE user_id % 2 = 0) AS sum_even_users,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS sum_even_users,
              count(DISTINCT user_id) FILTER (WHERE value <= 100) AS users_small
       FROM events GROUP BY event_type"""),
     tags = Set("relational"))
@@ -372,7 +377,7 @@ object Relational {
                TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 39600 + 18000) AS w_end
         FROM range(60) t(i))
       SELECT window_id, count(*) AS cnt,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM events JOIN wins ON ts >= w_start AND ts < w_end
       GROUP BY window_id"""),
     tags = Set("relational"))
@@ -435,8 +440,8 @@ object Relational {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       ids AS (
         SELECT user_id, ts,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events

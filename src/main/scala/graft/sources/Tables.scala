@@ -32,18 +32,29 @@ object Tables {
 
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which
     * Spark's parquet reader rejects by default. Read it as a long
-    * (legacy nanosAsLong) and truncate to microseconds — exactly what
-    * DuckDB's TIMESTAMP (µs) does, so oracle values agree. */
+    * (legacy nanosAsLong, set once per session here — idempotent, also
+    * pre-set by [[graft.Sessions]]) and truncate to microseconds —
+    * exactly what DuckDB's TIMESTAMP (µs) does, so oracle values agree. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Typed accessor per table name — the single reading path, so views
+    * registered by [[registerAll]] expose the same schema as the
+    * accessors (notably `events.ts` as a µs timestamp, not raw nanos). */
+  val accessors: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "embeddings" -> embeddings)
+
   /** Register every table as a temp view (≙ the reference's `tpch(sf)`
     * UDTF registering all tables in the catalog). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => accessors(n)(spark, dir).createOrReplaceTempView(n))
 }

@@ -484,8 +484,8 @@ object TpchQueries {
       SELECT CASE WHEN l_quantity < 10 THEN 'SMALL'
                   WHEN l_quantity < 30 THEN 'MEDIUM'
                   ELSE 'LARGE' END AS qty_class,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       FROM orders, lineitem
       WHERE o_orderkey = l_orderkey
         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -624,8 +624,13 @@ object TpchQueries {
       val p = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
       val l = Tables.lineitem(s, dir)
+      // exact-cents average (sum of integer cents / 100 / count) so the
+      // cut-off is bit-identical across engines regardless of
+      // accumulation order — plain avg() is partial+final in Spark but
+      // sequential in DuckDB
       val avgQty = l.groupBy(col("l_partkey").as("a_partkey"))
-        .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+        .agg((sum(cents(col("l_quantity"))) / lit(100.0) / count(lit(1)) * lit(0.2))
+          .as("qty_cut"))
       l.join(p, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("a_partkey"))
         .filter(col("l_quantity") < col("qty_cut"))
@@ -634,7 +639,8 @@ object TpchQueries {
     Some("""
       SELECT round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
       FROM lineitem, part,
-           (SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_cut
+           (SELECT l_partkey AS a_partkey,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 / count(*) * 0.2 AS qty_cut
             FROM lineitem GROUP BY l_partkey) a
       WHERE p_partkey = l_partkey AND a_partkey = l_partkey
         AND p_brand = 'Brand#3' AND p_size <= 10
@@ -809,8 +815,9 @@ object TpchQueries {
       val c = Tables.customer(s, dir)
         .withColumn("cntrycode", (col("c_custkey") % 7).cast("string"))
         .filter(col("cntrycode").isin("1", "2", "3", "4", "5"))
+      // exact-cents average — see q17: engine-stable cut-off
       val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("avg_bal"))
+        .agg((sum(cents(col("c_acctbal"))) / lit(100.0) / count(lit(1))).as("avg_bal"))
       val recent = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
         .select(col("o_custkey"))
@@ -826,7 +833,8 @@ object TpchQueries {
       FROM (SELECT CAST(c_custkey % 7 AS VARCHAR) AS cntrycode, c_custkey, c_acctbal
             FROM customer
             WHERE CAST(c_custkey % 7 AS VARCHAR) IN ('1','2','3','4','5')) c
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      WHERE c_acctbal > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 / count(*)
+                         FROM customer
                          WHERE c_acctbal > 0
                            AND CAST(c_custkey % 7 AS VARCHAR) IN ('1','2','3','4','5'))
         AND NOT EXISTS (SELECT 1 FROM orders
