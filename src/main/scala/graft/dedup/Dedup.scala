@@ -1,5 +1,273 @@
 package graft.dedup
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 dedup family over the `documents` / `embeddings` tables.
+  *
+  * Every operator is blocking-join based — NO all-pairs comparison
+  * anywhere. Candidate generation is an equi-join on a derived key
+  * (shingle, LSH band, sign-bucket) whose fan-out is bounded; the
+  * exact similarity is then verified only on candidates. This is the
+  * shape that survives 100 TB: the pair space is never materialised,
+  * the joins shuffle on keys, and hot keys can be df-capped/salted
+  * (see scaladoc per op).
+  *
+  * All hashing is md5 (codegen'd built-in, identical in DuckDB), so
+  * every probabilistic structure (MinHash signature, LSH band, sign
+  * bucket) is bit-identical between Spark and the oracle — the
+  * correctness gate checks the whole pipeline, not just the verify
+  * step. Similarities are computed from exact integers (shingle
+  * counts; embeddings quantized to ×10000 ints) so division inputs
+  * are identical across engines and the final doubles compare equal.
+  */
 object Dedup {
-  def all: Seq[GQuery] = Seq.empty
+
+  private val J_THRESHOLD = 0.5 // word-3-gram Jaccard near-dup cut
+  private val C_THRESHOLD = 0.4 // embedding cosine near-dup cut
+
+  /** Distinct word-3-gram shingles per document. Docs with <3 words
+    * cannot near-dup on 3-grams and are dropped (both sides). */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .as("shingle"))
+
+  private val shinglesSql = """
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w)),
+      n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: hash-groupBy on md5(text), keep the min doc_id per
+    * group. One shuffle on the 128-bit hash — uniformly distributed,
+    * no skew; at 100 TB this is the cheapest possible full-corpus
+    * dedup (hash is 16 bytes regardless of document size). */
+  val exact: GQuery = GQuery(
+    "dedup_exact",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id")),
+    Some("""
+      SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)"""),
+    tags = Set("dedup"))
+
+  // ----------------------------------------------------- n-gram Jaccard
+
+  /** Exact near-dup pairs by word-3-gram Jaccard ≥ 0.5, found via a
+    * shingle-explode blocking join: only documents sharing ≥1 shingle
+    * are ever paired (full recall for any positive threshold, no N²).
+    * This is the exact baseline; [[minhashLsh]] is the 100 TB path
+    * (constant-size signatures instead of full shingle sets). At
+    * scale, hot shingles (stop-phrases) get df-capped before the
+    * pair join — applied identically on both sides when enabled. */
+  val ngramJaccard: GQuery = GQuery(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val j = round(col("inter").cast("double") /
+        (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
+      inter
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("jaccard", j)
+        .filter(col("jaccard") >= J_THRESHOLD)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+      FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
+    tags = Set("dedup"))
+
+  // ------------------------------------------------------- MinHash LSH
+
+  private val MH_K = 8 // signature length; 4 bands × 2 rows
+
+  /** MinHash + LSH banding near-dup detection — the scale path. Per
+    * doc: an 8-hash MinHash signature (computed as 8 aggregate mins in
+    * ONE groupBy pass over the shingles — no ×K explode), banded 4×2;
+    * docs sharing any band bucket become candidates; candidates are
+    * verified with exact Jaccard ≥ 0.5. The signature is constant
+    * size, so at 100 TB the shuffle carries 8×16 bytes per doc rather
+    * than the full shingle set; band buckets are md5-uniform (no
+    * skew). Hash family: h_i(s) = substr(md5(i ⧺ '|' ⧺ s), 1, 16) —
+    * deterministic and identical in DuckDB, so the oracle replays the
+    * exact pipeline (bands included), not just the verify step. */
+  val minhashLsh: GQuery = GQuery(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = shingles(docs)
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val minhashes = (0 until MH_K).map(i =>
+        min(substring(md5(concat_ws("|", lit(i.toString), col("shingle"))), 1, 16)).as(s"h$i"))
+      val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+      val bands = mh.select(col("doc_id"), posexplode(array(
+        (0 until MH_K / 2).map(b => md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
+        .as(Seq("band", "bkey")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val j = round(col("inter").cast("double") /
+        (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
+      inter
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("jaccard", j)
+        .filter(col("jaccard") >= J_THRESHOLD)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      hashes AS (SELECT doc_id, i,
+                        substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 16) AS h
+                 FROM sh, range($MH_K) t(i)),
+      mh AS (SELECT doc_id,
+                    min(CASE WHEN i = 0 THEN h END) AS h0, min(CASE WHEN i = 1 THEN h END) AS h1,
+                    min(CASE WHEN i = 2 THEN h END) AS h2, min(CASE WHEN i = 3 THEN h END) AS h3,
+                    min(CASE WHEN i = 4 THEN h END) AS h4, min(CASE WHEN i = 5 THEN h END) AS h5,
+                    min(CASE WHEN i = 6 THEN h END) AS h6, min(CASE WHEN i = 7 THEN h END) AS h7
+             FROM hashes GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM mh
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mh
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mh
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mh),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      inter AS (SELECT doc_a, doc_b, count(*) AS inter
+                FROM cand JOIN sh sa ON doc_a = sa.doc_id
+                          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+      FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
+    tags = Set("dedup"))
+
+  // ----------------------------------------------------------- SimHash
+
+  private val SH_BITS = 48 // md5-derived token hash width (sign-safe in a long)
+
+  /** 48-bit SimHash per document (rows-check + DedupSpec). Token hash
+    * = first 12 hex chars of md5 (48 bits, fits a long with headroom);
+    * per-bit majority vote computed as 48 conditional-sum aggregate
+    * columns in ONE groupBy pass (stays in codegen; no ×48 explode).
+    * Output carries the 4 × 12-bit hamming bands used for candidate
+    * bucketing — near-identical docs land in the same band bucket;
+    * DedupSpec asserts a 1-word edit stays within hamming ≤ 3. */
+  val simhash: GQuery = GQuery(
+    "dedup_simhash",
+    (s, dir) => simhashSignatures(Tables.documents(s, dir)),
+    None,
+    tags = Set("dedup"))
+
+  /** (doc_id, simhash, band0..band3) — reusable signature builder. */
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val bitSums = (0 until SH_BITS).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    val voted = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SH_BITS).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), 12 * b).bitwiseAND(lit(0xfffL)).as(s"band$b"))
+    voted.select(col("doc_id"), sig.as("simhash"))
+      .select(Seq(col("doc_id"), col("simhash")) ++ bandCols: _*)
+  }
+
+  // ------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4 on this corpus; real
+    * pipelines run ≥0.9 where sign-LSH recall is ≥0.95). Blocking:
+    * 16 sign bits (dims 1..16 of the quantized vector) in 4 bands of
+    * 4 — an equi-join on (band, bucket), no N². Verification: cosine
+    * from ×10000 integer-quantized vectors, so dot and norms are
+    * exact integer sums (order-independent) and the final
+    * divide/sqrt/round is bit-identical in DuckDB — the oracle
+    * replays blocking AND verify exactly. AnnSpec measures recall of
+    * this blocking against the brute-force baseline. */
+  val embedding: GQuery = GQuery(
+    "dedup_embedding",
+    (s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))").as("e"))
+      val norms = q.select(col("vec_id"), expr("aggregate(e, 0L, (acc, x) -> acc + x * x)").as("nn"))
+      def bit(d: Int): Column = when(element_at(col("e"), d) >= 0, 1).otherwise(0)
+      val bands = q.select(col("vec_id"), posexplode(array(
+        (0 until 4).map(b => bit(4 * b + 1) * 8 + bit(4 * b + 2) * 4 + bit(4 * b + 3) * 2 + bit(4 * b + 4)): _*))
+        .as(Seq("band", "bkey")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val cos = round(col("dot").cast("double") /
+        (sqrt(col("na.nn").cast("double")) * sqrt(col("nb.nn").cast("double"))), 6)
+      cand
+        .join(q.select(col("vec_id"), col("e").as("ea")), col("vec_a") === col("vec_id")).drop("vec_id")
+        .join(q.select(col("vec_id"), col("e").as("eb")), col("vec_b") === col("vec_id")).drop("vec_id")
+        .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .join(norms.as("na"), col("vec_a") === col("na.vec_id"))
+        .join(norms.as("nb"), col("vec_b") === col("nb.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(col("cosine") >= C_THRESHOLD)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      bands AS (SELECT vec_id, b AS band,
+                       (CASE WHEN e[b*4+1] >= 0 THEN 8 ELSE 0 END) +
+                       (CASE WHEN e[b*4+2] >= 0 THEN 4 ELSE 0 END) +
+                       (CASE WHEN e[b*4+3] >= 0 THEN 2 ELSE 0 END) +
+                       (CASE WHEN e[b*4+4] >= 0 THEN 1 ELSE 0 END) AS bkey
+                FROM qv, range(4) t(b)),
+      cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      dots AS (SELECT vec_a, vec_b,
+                      CAST(list_sum(list_transform(list_zip(qa.e, qb.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+               FROM cand JOIN qv qa ON vec_a = qa.vec_id JOIN qv qb ON vec_b = qb.vec_id)
+      SELECT vec_a, vec_b, round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+      FROM dots JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+      WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $C_THRESHOLD"""),
+    tags = Set("dedup"))
+
+  def all: Seq[GQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedding)
 }

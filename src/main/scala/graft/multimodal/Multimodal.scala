@@ -1,5 +1,101 @@
 package graft.multimodal
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded media row — the typed surface for per-partition
+  * decode/feature-extract (see [[Multimodal.decodeFeatures]]). */
+final case class MediaRow(
+    doc_id: Long, blob: Array[Byte], format: String, width: Int, height: Int)
+
+final case class MediaFeatures(
+    doc_id: Long, format: String, n_bytes: Int, mean_byte: Double, frames: Int)
+
+/** §2.4 multimodal-column plumbing: image/audio/video payloads as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  *
+  * The decode step is STUBBED deterministically (no image/audio libs
+  * in this environment): the "payload" is the md5 digest of the
+  * document text (16 bytes, content-derived, stable) and "decode"
+  * computes features of those bytes. Everything AROUND the stub is
+  * the real 100 TB design: binary + struct schema, partition-wise
+  * batch processing via `mapPartitions` over a typed `Dataset` (the
+  * Scala analogue of `mapInPandas` — one iterator per partition, so a
+  * real decoder would amortise model/codec init per partition, not
+  * per row), and metadata predicates that prune BEFORE touching
+  * payload bytes (filter on `meta.format`/`width` pushes to the scan;
+  * blobs never shuffle).
+  */
 object Multimodal {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def fmtCol =
+    element_at(array(lit("jpeg"), lit("png"), lit("webp")), (col("doc_id") % 3).cast("int") + 1)
+  private def widthCol = (lit(64) + (col("doc_id") % 32) * lit(16)).cast("int")
+  private def heightCol = (lit(64) + expr("(doc_id DIV 32) % 32") * lit(16)).cast("int")
+
+  /** documents → (doc_id, blob BINARY, meta STRUCT<format,width,height>).
+    * Deterministic synthesis standing in for a real media table. */
+  private[graft] def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("blob"),
+      struct(fmtCol.as("format"), widthCol.as("width"), heightCol.as("height")).as("meta"))
+
+  /** Metadata + payload-shape extraction, all in codegen (no UDF):
+    * blob length and first payload byte come from expressions over
+    * the binary column. Oracle-checked — DuckDB rebuilds the same
+    * deterministic payload. */
+  val metadata: GQuery = GQuery(
+    "mm_metadata",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        fmtCol.as("format"),
+        widthCol.cast("long").as("width"),
+        heightCol.cast("long").as("height"),
+        length(unhex(md5(col("text")))).cast("long").as("n_bytes"),
+        // first payload byte — the blob is unhex(md5(text)), so byte 0
+        // is the first hex pair of md5(text) (DuckDB md5 can't digest
+        // BLOBs, so both sides read it off the hex string)
+        conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long").as("first_feat")),
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+             CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS width,
+             CAST(64 + ((doc_id // 32) % 32) * 16 AS BIGINT) AS height,
+             CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT AS first_feat
+      FROM documents"""),
+    tags = Set("multimodal"))
+
+  /** Typed per-partition "decode": one iterator per partition so a
+    * real codec would init once per partition (the `mapInPandas`
+    * batch shape). The stub derives deterministic features from the
+    * payload bytes; MultimodalSpec pins them. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: init decoder/model HERE, once per partition
+      rows.map { r =>
+        val bytes = r.blob
+        val mean = if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        // frame-sample stub: pretend 1 frame per 4 payload bytes
+        MediaFeatures(r.doc_id, r.format, bytes.length, mean, bytes.length / 4)
+      }
+    }
+  }
+
+  /** Typed view of [[mediaTable]] for the decode path. */
+  def media(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("blob"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+  }
+
+  def all: Seq[GQuery] = Seq(metadata)
 }

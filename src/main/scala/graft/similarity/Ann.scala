@@ -1,5 +1,135 @@
 package graft.similarity
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.4 approximate-nearest-neighbor search over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * Numeric discipline: vectors are quantized to ×10000 integers, so
+  * dot products and norms are EXACT integer sums (accumulation-order
+  * independent); the final divide/sqrt/round on those exact inputs is
+  * IEEE-deterministic, making cosine values bit-identical between
+  * Spark and the DuckDB oracle. All per-element math runs in
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, no collect.
+  */
 object Ann {
-  def all: Seq[GQuery] = Seq.empty
+
+  private val K = 5        // top-k neighbours per query
+  private val N_QUERIES = 10 // query set = vec_id < 10
+
+  private val quant: Column =
+    expr("transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))")
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    round(dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
+
+  // --------------------------------------------------- brute force
+
+  /** Brute-force cosine top-k — the exact baseline. The (small) query
+    * set is broadcast against the corpus, so the plan is a broadcast
+    * nested-loop over Q×N rows with the 64-dim dot product fused into
+    * codegen — linear in the corpus, no shuffle of the corpus at all.
+    * This IS the right plan when Q is small (the common "probe a
+    * handful of queries" case); [[lshTopk]] is the path when Q×N
+    * itself is too big. */
+  val cosineTopk: GQuery = GQuery(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), quant.as("qe"))
+      val c = emb.select(col("vec_id"), quant.as("ce"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("qn", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("cn", expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+                FROM qv q, qv c WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
+      scored AS (SELECT query_id, pairs.vec_id AS vec_id,
+                        round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
+                 FROM pairs JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON pairs.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, rnk, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $K"""),
+    tags = Set("ann"))
+
+  // ------------------------------------------------ hyperplane LSH
+
+  private val HP = 16 // random hyperplanes → 4 bands × 4 bits
+
+  /** Random-hyperplane signs per vector → 16-bit code → 4 bands of 4
+    * bits. Hyperplane weights are ±1 derived from md5(j⧺'_'⧺d) —
+    * deterministic, no RNG state to ship. Returns (vec_id, band,
+    * bkey). */
+  private[graft] def signBands(vecs: DataFrame, spark: SparkSession): DataFrame = {
+    val hp = spark.range(HP).toDF("j")
+      .crossJoin(spark.range(64).toDF("d"))
+      .withColumn("w", when(substring(md5(concat_ws("_", col("j"), col("d"))), 1, 1) < "8", 1L).otherwise(-1L))
+    val bits = vecs
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("d", "v")))
+      .join(broadcast(hp), Seq("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg((sum(col("v") * col("w")) >= 0).as("bit"))
+    bits.groupBy(col("vec_id"))
+      .agg(sum(when(col("bit"), expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("code"))
+      .select(col("vec_id"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("code"), 4 * b).bitwiseAND(lit(0xfL))): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** LSH-bucketed ANN — the scale path when both the query set and
+    * the corpus are large. Both sides hash to 16 hyperplane-sign bits
+    * banded 4×4; only (band, bucket)-colliding pairs are scored, so
+    * the join is an equi-join on the bucket key (md5-uniform, no
+    * skew) instead of Q×N. Approximate by construction: AnnSpec
+    * measures recall against [[cosineTopk]]'s exact baseline.
+    * Rows-only check (candidate sets are engine-stable but the check
+    * stays conservative per SURVEY §2.4). */
+  val lshTopk: GQuery = GQuery(
+    "ann_lsh_topk",
+    (s, dir) => lshTopkFrom(Tables.embeddings(s, dir), s),
+    None,
+    tags = Set("ann"))
+
+  private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession): DataFrame = {
+    val vecs = emb.select(col("vec_id"), quant.as("e"))
+    val norms = vecs.select(col("vec_id"), expr("aggregate(e, 0L, (acc, x) -> acc + x * x)").as("nn"))
+    val bands = signBands(vecs, s)
+    val qb = bands.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+    val cand = qb.join(bands, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("e").as("qe")), col("query_id") === col("q_id")).drop("q_id")
+      .join(vecs.select(col("vec_id"), col("e").as("ce")), Seq("vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .join(norms.select(col("vec_id").as("query_id"), col("nn").as("qn")), Seq("query_id"))
+      .join(norms.select(col("vec_id"), col("nn").as("cn")), Seq("vec_id"))
+      .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
+  }
+
+  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk)
 }
