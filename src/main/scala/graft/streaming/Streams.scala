@@ -1,5 +1,104 @@
 package graft.streaming
+
 import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event on the stream (mirrors the `events` table columns the
+  * streaming ops need). */
+final case class SEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+final case class SessionAcc(start: Timestamp, end: Timestamp, n_events: Long)
+final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+/** §2.5 Structured Streaming over the `events` stream.
+  *
+  * The transforms are written once and applied to EITHER a batch or a
+  * streaming DataFrame — that is Spark's batch/stream unification, and
+  * it is what makes the batch-parity oracle meaningful: the driver
+  * checks [[windowedAgg]] on the batch table against DuckDB
+  * `time_bucket`, and StreamingSpec replays the same transform through
+  * a MemoryStream with a watermark.
+  *
+  * Scale posture: watermarks bound state (late data beyond 2h is
+  * dropped, state for closed windows is evicted); sessionization state
+  * is per-user and evicted via event-time timeout — state size is
+  * O(active users), never O(events).
+  */
 object Streams {
-  def all: Seq[GQuery] = Seq.empty
+
+  private def cents = floor(col("value") * lit(100) + lit(0.5)).cast("long")
+
+  /** Tumbling 1-hour window aggregate per event_type. Works on batch
+    * and (after `withWatermark`) streaming input unchanged. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("v_cents", cents)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v_cents")).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+
+  /** Streaming windowed counts: watermark → tumbling window →
+    * count. Append-mode compatible (the memory-sink spec asserts
+    * emitted rows once the watermark passes). */
+  def windowedCounts(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    windowedAgg(stream.withWatermark("ts", watermark))
+
+  /** Custom session windows via flatMapGroupsWithState: sessions break
+    * after `gapMinutes` idle; state is one (start, end, n) accumulator
+    * per user, evicted by event-time timeout once the watermark passes
+    * the gap — closed sessions are emitted either by a later event
+    * arriving past the gap or by the timeout firing. */
+  def sessionize(events: Dataset[SEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.end, s.n_events))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.Buffer[SessionOut]()
+            var acc = state.getOption
+            for (e <- sorted) acc match {
+              case Some(a) if e.ts.getTime - a.end.getTime <= gapMs =>
+                acc = Some(a.copy(end = e.ts, n_events = a.n_events + 1))
+              case Some(a) =>
+                out += SessionOut(user, a.start, a.end, a.n_events)
+                acc = Some(SessionAcc(e.ts, e.ts, 1))
+              case None =>
+                acc = Some(SessionAcc(e.ts, e.ts, 1))
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end.getTime + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch-parity key: the identical [[windowedAgg]] transform on the
+    * batch events table, oracle-checked vs DuckDB time_bucket. */
+  val streamWindowedAgg: GQuery = GQuery(
+    "stream_windowed_agg",
+    (s, dir) => windowedAgg(Tables.events(s, dir)),
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             count(*) AS cnt,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2"""),
+    tags = Set("streaming"))
+
+  def all: Seq[GQuery] = Seq(streamWindowedAgg)
 }
