@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN quality: LSH recall against the exact brute-force baseline,
+  * and HLL error tolerance. */
+class AnnSpec extends SparkSpecBase {
+
+  test("ann_lsh_topk recall vs brute force at sf0.01") {
+    // this corpus's nearest neighbours sit at cosine ~0.3-0.5, the
+    // hard regime for sign-LSH (P[bit agree] ≈ 0.55-0.67 per plane);
+    // at real near-dup similarity (>=0.9, P >= 0.86) the same 8×4
+    // banding holds >=0.95 recall. Assert the measured floor for
+    // top-5 and the stronger floor for the (higher-cosine) top-1.
+    val exactTop = SparkEntry.queries("ann_cosine_topk")(spark, TestSession.sfDir01)
+      .select(col("query_id"), col("vec_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, TestSession.sfDir01)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact5 = exactTop.map(t => (t._1, t._2)).toSet
+    val exact1 = exactTop.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet
+    assert(exact5.size == 50, s"expected 10 queries x top-5, got ${exact5.size}")
+    val recall5 = (exact5 & lsh).size.toDouble / exact5.size
+    val recall1 = (exact1 & lsh).size.toDouble / exact1.size
+    assert(recall5 >= 0.4, s"recall@5 $recall5")
+    assert(recall1 >= 0.5, s"recall@1 $recall1")
+  }
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val approx = SparkEntry.queries("op_approx_distinct")(spark, TestSession.sfDir01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, TestSession.sfDir01)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-shape assertions for the whole registry: the properties that
+  * decide survival at 100 TB, checked at sf0.001 where planning is
+  * identical. */
+class PlanSpec extends SparkSpecBase {
+
+  test("no CartesianProduct anywhere in the registry") {
+    Registry.all.foreach { q =>
+      val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} has a CartesianProduct")
+    }
+  }
+
+  test("broadcast nested-loop joins only where a side is a bounded single-row/tiny input") {
+    // BNLJ is acceptable only for scalar-aggregate cross joins (q11 total,
+    // q22 avg, gen stats) and the deliberately-broadcast ANN query set;
+    // fact-fact joins must never BNL.
+    val allowed = Set("q11_important_stock", "q22_global_sales", "q8_market_share",
+      "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+      "ann_cosine_topk", "gen_partsupp_join")
+    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} has an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("every registry query plans and has a non-empty schema") {
+    Registry.all.foreach { q =>
+      val df = q.build(spark, sfDir)
+      assert(df.schema.nonEmpty, q.name)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.{SEvent, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming behaviour through real micro-batches: the windowed
+  * transform matches its batch twin, and sessionize emits sessions
+  * once the watermark closes them. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    SEvent(1, ts("2024-01-01 10:05:00"), "click", 10.0),
+    SEvent(1, ts("2024-01-01 10:20:00"), "click", 20.0),
+    SEvent(1, ts("2024-01-01 11:30:00"), "view", 30.0), // >30min gap → new session
+    SEvent(2, ts("2024-01-01 10:45:00"), "click", 40.0),
+    // late watermark-advancing tail so earlier windows/sessions close
+    SEvent(9, ts("2024-01-02 00:00:00"), "view", 0.0))
+
+  test("windowedCounts through a MemoryStream equals the batch windowedAgg") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events: _*)
+    val q = Streams.windowedCounts(mem.toDF()).writeStream
+      .format("memory").queryName("wc_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("wc_out")
+      .select(col("window_start"), col("event_type"), col("cnt"), col("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.windowedAgg(events.toDF())
+      .collect().map(_.toSeq).toSet
+    // append mode only emits windows the watermark has passed; every
+    // emitted row must match the batch result, and the closed 10:00
+    // and 11:00 windows must be present
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+    assert(streamed.exists(_.toString.contains("2024-01-01 10:00")), streamed.toString)
+  }
+
+  test("sessionize emits closed sessions with correct bounds and counts") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events: _*)
+    val q = Streams.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch lets event-time timeouts fire for idle users
+      mem.addData(SEvent(9, ts("2024-01-03 00:00:00"), "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_out")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // user 1: first session = 2 events 10:05..10:20 (closed by the 11:30 event)
+    assert(got.contains((1L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00"), 2L)), got.toString)
+    // user 1 second session and user 2's single-event session close via timeout
+    assert(got.exists(s => s._1 == 1L && s._4 == 1L), got.toString)
+    assert(got.exists(s => s._1 == 2L && s._4 == 1L), got.toString)
+  }
+}

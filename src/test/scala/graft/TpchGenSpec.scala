@@ -1,0 +1,62 @@
+package graft
+
+import graft.tpch.TpchGen
+import org.apache.spark.sql.functions._
+
+/** Generator-shape properties: row counts scale with sf, values are
+  * identical regardless of partitioning (the property that makes
+  * distributed generation correct), slices compose, FKs hold. */
+class TpchGenSpec extends SparkSpecBase {
+
+  test("row counts scale with sf") {
+    assert(TpchGen.region(spark).count() == 5)
+    assert(TpchGen.nation(spark).count() == 25)
+    assert(TpchGen.supplier(spark, 0.001).count() == 10)
+    assert(TpchGen.customer(spark, 0.001).count() == 150)
+    assert(TpchGen.part(spark, 0.001).count() == 200)
+    assert(TpchGen.partsupp(spark, 0.001).count() == 800)
+    assert(TpchGen.orders(spark, 0.001).count() == 1500)
+  }
+
+  test("generation is partitioning-invariant") {
+    val a = TpchGen.supplier(spark, 0.001, numParts = 2).orderBy(col("s_suppkey")).collect()
+    val b = TpchGen.supplier(spark, 0.001, numParts = 7).orderBy(col("s_suppkey")).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("part/numParts slices compose to the full table") {
+    val full = TpchGen.customer(spark, 0.001).orderBy(col("c_custkey")).collect()
+    val sliced = (0 until 3)
+      .map(p => TpchGen.customer(spark, 0.001, numParts = 3, part = p))
+      .reduce(_ unionByName _).orderBy(col("c_custkey")).collect()
+    assert(full.toSeq == sliced.toSeq)
+  }
+
+  test("partsupp: exactly 4 distinct suppliers per part, FKs resolve") {
+    // at sf0.01+ (S>=100) the spec stride formula guarantees 4 distinct
+    // suppliers; at S=10 (sf0.001, far below TPC-H's official minimum
+    // sf) some strides collide mod S — test at the spec-valid scale
+    val ps = TpchGen.partsupp(spark, 0.01)
+    val perPart = ps.groupBy(col("ps_partkey"))
+      .agg(countDistinct(col("ps_suppkey")).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx")).head()
+    assert(perPart.getLong(0) == 4 && perPart.getLong(1) == 4)
+    val su = TpchGen.supplier(spark, 0.01).select(col("s_suppkey"))
+    assert(ps.join(su, col("ps_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
+  }
+
+  test("lineitem (partkey, suppkey) pairs all exist in partsupp") {
+    val l = TpchGen.lineitem(spark, 0.001).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val ps = TpchGen.partsupp(spark, 0.001)
+    val dangling = l.join(ps,
+      col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"),
+      "left_anti")
+    assert(dangling.count() == 0)
+  }
+
+  test("orders custkeys skip multiples of 3 and stay in range") {
+    val bad = TpchGen.orders(spark, 0.001)
+      .filter(col("o_custkey") % 3 === 0 || col("o_custkey") < 1 || col("o_custkey") > 150)
+    assert(bad.count() == 0)
+  }
+}
