@@ -1,0 +1,26 @@
+package graft
+
+/** Headline-plan shape pins: q3 top-k must be TakeOrderedAndProject
+  * with no forced fact-table broadcast; the minhash pipeline must be
+  * all equi-joins (SortMerge/BroadcastHash), nothing nested-loop. */
+class ExplainSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q3: top-k via TakeOrderedAndProject, no broadcast of customer") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q18: HAVING-subquery join plan has no nested-loop join") {
+    val p = plan("q18_large_orders")
+    assert(!p.contains("NestedLoop"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("dedup_minhash_lsh: equi-joins only") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+}
