@@ -550,19 +550,21 @@ object TpchQueries {
 
   // ---------------------------------------------------------------- Q15
   /** Q15 top supplier: revenue per supplier for 1996Q1 (the spec's CTE
-    * view), max-revenue selection via window max over the rounded total
-    * (rounding BEFORE the max keeps the argmax stable across engines). */
+    * view), max-revenue selection via scalar aggregate + broadcast
+    * (rounding BEFORE the max keeps the argmax stable across engines).
+    * A global window here would funnel every supplier row through one
+    * partition; the scalar max is partial+final and broadcasts 1 row. */
   val q15: GQuery = GQuery(
     "q15_top_supplier",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val l = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
           col("l_shipdate") < ts("1996-04-01 00:00:00"))
       val rev = l.groupBy(col("l_suppkey"))
         .agg((sum(cents(revenue)) / lit(100.0)).as("total_revenue"))
       val su = Tables.supplier(s, dir)
-      rev.withColumn("max_revenue", max(col("total_revenue")).over(Window.partitionBy()))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("max_revenue"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

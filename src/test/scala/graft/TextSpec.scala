@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Winnowing-fingerprint properties (the op itself is rows-only — no
+  * xxhash64 in DuckDB): deterministic, locality-sensitive (near-dup
+  * docs share most fingerprints), discriminative (unrelated docs
+  * share few). */
+class TextSpec extends SparkSpecBase {
+
+  private def fps(rows: (Long, String)*): Map[Long, Set[Long]] = {
+    import TestSession.spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("kgram_hashes",
+        expr("transform(sequence(0, length(text) - 8), i -> xxhash64(substr(text, i + 1, 8)))"))
+      .withColumn("fp", explode(array_distinct(expr(
+        "transform(sequence(0, size(kgram_hashes) - 4), j -> array_min(slice(kgram_hashes, j + 1, 4)))"))))
+      .select(col("doc_id"), col("fp")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+  }
+
+  test("fingerprints are deterministic and winnowing-local") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val nearDup = base.replace("lazy", "idle")
+    val unrelated = "completely different content about distributed query engines and shuffle partitioning strategies"
+    val m1 = fps(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated)
+    val m2 = fps(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated)
+    assert(m1 == m2) // deterministic
+    assert(m1(1) == m1(2)) // identical docs → identical fingerprint set
+    def jac(a: Set[Long], b: Set[Long]) = (a & b).size.toDouble / (a | b).size
+    assert(jac(m1(1), m1(3)) >= 0.5, s"near-dup overlap ${jac(m1(1), m1(3))}")
+    assert(jac(m1(1), m1(4)) <= 0.1, s"unrelated overlap ${jac(m1(1), m1(4))}")
+  }
+
+  test("text_fingerprint output shape on the documents table") {
+    val got = SparkEntry.queries("text_fingerprint")(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0)) // every doc has fingerprints
+  }
+}
