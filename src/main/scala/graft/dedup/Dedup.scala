@@ -222,9 +222,10 @@ object Dedup {
   val embedding: GQuery = GQuery(
     "dedup_embedding",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val q = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))").as("e"))
-      val norms = q.select(col("vec_id"), expr("aggregate(e, 0L, (acc, x) -> acc + x * x)").as("nn"))
+      val norms = q.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
       def bit(d: Int): Column = when(element_at(col("e"), d) >= 0, 1).otherwise(0)
       val bands = q.select(col("vec_id"), posexplode(array(
         (0 until 4).map(b => bit(4 * b + 1) * 8 + bit(4 * b + 2) * 4 + bit(4 * b + 3) * 2 + bit(4 * b + 4)): _*))
@@ -240,7 +241,7 @@ object Dedup {
       cand
         .join(q.select(col("vec_id"), col("e").as("ea")), col("vec_a") === col("vec_id")).drop("vec_id")
         .join(q.select(col("vec_id"), col("e").as("eb")), col("vec_b") === col("vec_id")).drop("vec_id")
-        .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("dot", expr("dot_long(ea, eb)"))
         .join(norms.as("na"), col("vec_a") === col("na.vec_id"))
         .join(norms.as("nb"), col("vec_b") === col("nb.vec_id"))
         .withColumn("cosine", cos)

@@ -40,15 +40,16 @@ object Ann {
   val cosineTopk: GQuery = GQuery(
     "ann_cosine_topk",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), quant.as("qe"))
       val c = emb.select(col("vec_id"), quant.as("ce"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
       c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-        .withColumn("qn", expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)"))
-        .withColumn("cn", expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("dot", expr("dot_long(qe, ce)"))
+        .withColumn("qn", expr("dot_long(qe, qe)"))
+        .withColumn("cn", expr("dot_long(ce, ce)"))
         .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= K)
@@ -111,8 +112,9 @@ object Ann {
     tags = Set("ann"))
 
   private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val vecs = emb.select(col("vec_id"), quant.as("e"))
-    val norms = vecs.select(col("vec_id"), expr("aggregate(e, 0L, (acc, x) -> acc + x * x)").as("nn"))
+    val norms = vecs.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
     val bands = signBands(vecs, s)
     val qb = bands.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
@@ -123,7 +125,7 @@ object Ann {
     cand
       .join(vecs.select(col("vec_id").as("q_id"), col("e").as("qe")), col("query_id") === col("q_id")).drop("q_id")
       .join(vecs.select(col("vec_id"), col("e").as("ce")), Seq("vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("dot_long(qe, ce)"))
       .join(norms.select(col("vec_id").as("query_id"), col("nn").as("qn")), Seq("query_id"))
       .join(norms.select(col("vec_id"), col("nn").as("cn")), Seq("vec_id"))
       .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))

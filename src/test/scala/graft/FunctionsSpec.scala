@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Native dot_long expression: matches the built-in spelling, handles
+  * nulls and length mismatch, resolves via SQL after registration. */
+class FunctionsSpec extends SparkSpecBase {
+
+  test("dot_long equals the aggregate/zip_with spelling and handles nulls") {
+    GraftFunctions.register(spark)
+    import TestSession.spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),   // 4+10+18 = 32
+      (Seq(-2L, 7L), Seq(3L, -1L)),          // -6-7 = -13
+      (Seq(1L, 1L, 1L, 1L), Seq(2L, 2L))     // prefix: 4
+    ).toDF("a", "b")
+    val got = df.select(
+      expr("dot_long(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("builtin"))
+      .collect()
+    assert(got(0).getLong(0) == 32L && got(1).getLong(0) == -13L)
+    // prefix semantics: builtin zip_with pads with null (making the
+    // aggregate null), native uses the common prefix — assert native
+    assert(got(2).getLong(0) == 4L)
+    assert(got.take(2).forall(r => r.getLong(0) == r.getLong(1)))
+    val withNull = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(expr("dot_long(a, b)")).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("dot_long participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // non-literal input so the optimizer can't constant-fold the call
+    // into a LocalTableScan
+    val df = spark.range(10)
+      .selectExpr("transform(sequence(0, 3), i -> id + i) AS a",
+        "transform(sequence(0, 3), i -> id * 2 + i) AS b")
+      .selectExpr("dot_long(a, b) AS d", "a", "b")
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen
+    // stage; the transform-lambda Project below it stays interpreted —
+    // which is exactly the gap dot_long closes vs zip_with/aggregate
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[dot_long""".r.findFirstIn(plan).isDefined, plan)
+    // id=1: a=[1,2,3,4], b=[2,3,4,5] → 2+6+12+20 = 40
+    assert(df.filter("a[0] = 1").head().getLong(0) == 40L)
+  }
+}
