@@ -178,17 +178,33 @@ object Dedup {
 
   private val SH_BITS = 48 // md5-derived token hash width (sign-safe in a long)
 
-  /** 48-bit SimHash per document (rows-check + DedupSpec). Token hash
-    * = first 12 hex chars of md5 (48 bits, fits a long with headroom);
-    * per-bit majority vote computed as 48 conditional-sum aggregate
-    * columns in ONE groupBy pass (stays in codegen; no ×48 explode).
-    * Output carries the 4 × 12-bit hamming bands used for candidate
-    * bucketing — near-identical docs land in the same band bucket;
-    * DedupSpec asserts a 1-word edit stays within hamming ≤ 3. */
+  /** 48-bit SimHash per document. Token hash = first 12 hex chars of
+    * md5 (48 bits, fits a long with headroom — and md5 lets the DuckDB
+    * oracle replay the identical hash stream); per-bit majority vote
+    * computed as 48 conditional-sum aggregate columns in ONE groupBy
+    * pass (stays in codegen; no ×48 explode — the oracle's explode×48
+    * spelling is the semantic reference, not the plan). Output carries
+    * the 4 × 12-bit hamming bands used for candidate bucketing —
+    * near-identical docs land in the same band bucket; DedupSpec
+    * asserts a 1-word edit stays within hamming ≤ 3. */
   val simhash: GQuery = GQuery(
     "dedup_simhash",
     (s, dir) => simhashSignatures(Tables.documents(s, dir)),
-    None,
+    Some("""
+      WITH toks AS (SELECT DISTINCT doc_id, t AS tok
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                    WHERE length(t) > 0),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks),
+      bits AS (SELECT doc_id, i,
+                      sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM th, range(48) t(i) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1)
+      SELECT doc_id, simhash,
+             (simhash >> 0) & 4095 AS band0, (simhash >> 12) & 4095 AS band1,
+             (simhash >> 24) & 4095 AS band2, (simhash >> 36) & 4095 AS band3
+      FROM sig"""),
     tags = Set("dedup"))
 
   /** (doc_id, simhash, band0..band3) — reusable signature builder. */

@@ -101,14 +101,46 @@ object Ann {
     * the corpus are large. Both sides hash to 32 hyperplane-sign bits
     * banded 8×4; only (band, bucket)-colliding pairs are scored, so
     * the join is an equi-join on the bucket key (md5-uniform, no
-    * skew) instead of Q×N. Approximate by construction: AnnSpec
-    * measures recall against [[cosineTopk]]'s exact baseline.
-    * Rows-only check (candidate sets are engine-stable but the check
-    * stays conservative per SURVEY §2.4). */
+    * skew) instead of Q×N. Approximate by construction vs the exact
+    * baseline (AnnSpec measures recall against [[cosineTopk]]), but
+    * fully deterministic: the md5-derived hyperplanes and integer
+    * quantization let the DuckDB oracle replay the entire pipeline —
+    * hyperplane signs, banding, candidate join, verify, top-k — so
+    * the hash check covers the whole approximate algorithm, not just
+    * its output shape. */
   val lshTopk: GQuery = GQuery(
     "ann_lsh_topk",
     (s, dir) => lshTopkFrom(Tables.embeddings(s, dir), s),
-    None,
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      bits AS (SELECT vec_id, j,
+                      CASE WHEN sum(e[d + 1] *
+                             (CASE WHEN substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 1) < '8'
+                                   THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM qv, range($HP) s(j), range(64) t(d)
+               GROUP BY vec_id, j),
+      codes AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+                FROM bits GROUP BY 1),
+      bands AS (SELECT vec_id, b AS band, (code >> (4 * b)) & 15 AS bkey
+                FROM codes, range(${HP / 4}) r(b)),
+      qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < $N_QUERIES),
+      cand AS (SELECT DISTINCT query_id, c.vec_id
+               FROM qb JOIN bands c USING (band, bkey) WHERE c.vec_id <> query_id),
+      dots AS (SELECT query_id, cand.vec_id,
+                      CAST(list_sum(list_transform(list_zip(qa.e, qc.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+               FROM cand JOIN qv qa ON query_id = qa.vec_id JOIN qv qc ON cand.vec_id = qc.vec_id),
+      scored AS (SELECT query_id, dots.vec_id AS vec_id,
+                        round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
+                 FROM dots JOIN norms nq ON query_id = nq.vec_id
+                           JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, rnk, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $K"""),
     tags = Set("ann"))
 
   private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession): DataFrame = {

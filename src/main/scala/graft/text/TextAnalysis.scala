@@ -112,17 +112,19 @@ object TextAnalysis {
       FROM scored"""),
     tags = Set("text"))
 
-  /** Winnowing document fingerprint: rolling xxhash64 over 8-char
-    * k-grams, minimum per 4-hash window, distinct mins = the
-    * fingerprint set. Rows-only check (xxhash64 isn't in DuckDB);
-    * TextSpec asserts the winnowing properties (near-dup docs share
-    * most fingerprints, unrelated docs share few). */
+  /** Winnowing document fingerprint: rolling hash over 8-char
+    * k-grams (60-bit md5 prefix — md5 so DuckDB replays the identical
+    * hash stream), minimum per 4-hash window, distinct mins = the
+    * fingerprint set. Oracle-checked end to end; TextSpec additionally
+    * asserts the winnowing properties (near-dup docs share most
+    * fingerprints, unrelated docs share few). */
   val fingerprint: GQuery = GQuery(
     "text_fingerprint",
     (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("kgram_hashes",
-          expr("transform(sequence(0, length(text) - 8), i -> xxhash64(substr(text, i + 1, 8)))"))
+          expr("transform(sequence(0, length(text) - 8), " +
+            "i -> CAST(conv(substr(md5(substr(text, i + 1, 8)), 1, 15), 16, 10) AS BIGINT))"))
         .withColumn("fps",
           array_distinct(expr(
             "transform(sequence(0, size(kgram_hashes) - 4), j -> array_min(slice(kgram_hashes, j + 1, 4)))")))
@@ -130,7 +132,20 @@ object TextAnalysis {
           size(col("fps")).cast("long").as("n_fingerprints"),
           array_min(col("fps")).as("min_fp"),
           array_max(col("fps")).as("max_fp")),
-    None,
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(length(text) - 7),
+                 i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS kh
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(kh) - 3),
+                 j -> list_min(kh[j + 1:j + 4]))) AS fps
+        FROM h)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+             list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      FROM w"""),
     tags = Set("text"))
 
   def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint)

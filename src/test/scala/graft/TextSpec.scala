@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Winnowing-fingerprint properties (the op itself is rows-only — no
-  * xxhash64 in DuckDB): deterministic, locality-sensitive (near-dup
-  * docs share most fingerprints), discriminative (unrelated docs
-  * share few). */
+/** Winnowing-fingerprint properties the value-equality oracle can't
+  * express: locality (near-dup docs share most fingerprints) and
+  * discrimination (unrelated docs share few). */
 class TextSpec extends SparkSpecBase {
 
   private def fps(rows: (Long, String)*): Map[Long, Set[Long]] = {
