@@ -57,24 +57,102 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Single-pass winnowing fingerprints over a string column: md5 each
+  * k-char gram (value = first 60 bits, ≙ `conv(substr(md5(g),1,15),
+  * 16,10)`), sliding min over `w` consecutive hashes, distinct mins.
+  *
+  * The built-in spelling (`transform(sequence…md5…)` +
+  * `transform(sequence…array_min(slice(…)))`) materialises the hash
+  * array AND a w-element slice per window, with a string hex-parse
+  * per gram; this computes the identical values in one pass with a
+  * reused digest and no intermediate allocation. Values match the
+  * DuckDB oracle exactly (same md5-prefix semantics). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Called from generated code — stays inside whole-stage codegen. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < k + w - 1) return ArrayData.toArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      val d = md.digest(s.substringSQL(i + 1, k).getBytes)
+      // first 15 hex chars = top 60 bits of the first 8 digest bytes
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = v >>> 4
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= nGrams - w) {
+      var m = hashes(j)
+      var t = 1
+      while (t < w) { if (hashes(j + t) < m) m = hashes(j + t); t += 1 }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    ArrayData.toArrayData(arr)
+  }
+}
+
 /** Registration surfaces for graft's native functions. */
 object GraftFunctions {
 
-  private val dotLongInfo = new ExpressionInfo(classOf[DotLong].getName, "dot_long")
-  private val dotLongBuilder: Seq[Expression] => Expression = { args =>
-    require(args.length == 2, s"dot_long expects 2 arguments, got ${args.length}")
-    DotLong(args.head, args(1))
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
+
+  private val registry: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_long", new ExpressionInfo(classOf[DotLong].getName, "dot_long"), { args =>
+      require(args.length == 2, s"dot_long expects 2 arguments, got ${args.length}")
+      DotLong(args.head, args(1))
+    }),
+    ("winnow_fps", new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"), { args =>
+      require(args.length == 3, s"winnow_fps expects (text, k, w), got ${args.length} args")
+      WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
+    }))
 
   /** Idempotent in-session registration; afterwards
     * `expr("dot_long(a, b)")` / SQL `dot_long(a, b)` resolve. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_long"), dotLongInfo, dotLongBuilder)
+    registry.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
 
   /** For `spark.sql.extensions=graft.functions.GraftExtensions`. */
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("dot_long"), dotLongInfo, dotLongBuilder))
+    registry.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 /** Session-extensions entry point (config-time injection, the way a

@@ -120,18 +120,19 @@ object TextAnalysis {
     * fingerprints, unrelated docs share few). */
   val fingerprint: GQuery = GQuery(
     "text_fingerprint",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .withColumn("kgram_hashes",
-          expr("transform(sequence(0, length(text) - 8), " +
-            "i -> CAST(conv(substr(md5(substr(text, i + 1, 8)), 1, 15), 16, 10) AS BIGINT))"))
-        .withColumn("fps",
-          array_distinct(expr(
-            "transform(sequence(0, size(kgram_hashes) - 4), j -> array_min(slice(kgram_hashes, j + 1, 4)))")))
+        // native single-pass winnowing (graft.functions
+        // .WinnowFingerprints) — same values as the built-in
+        // transform/slice spelling, one digest pass, no intermediate
+        // arrays
+        .withColumn("fps", expr("winnow_fps(text, 8, 4)"))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fingerprints"),
           array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp")),
+          array_max(col("fps")).as("max_fp"))
+    },
     Some("""
       WITH h AS (
         SELECT doc_id,

@@ -29,6 +29,23 @@ class FunctionsSpec extends SparkSpecBase {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("winnow_fps equals the built-in transform/slice spelling on real documents") {
+    GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val native = docs.selectExpr("doc_id", "winnow_fps(text, 8, 4) AS fps")
+    val builtin = docs
+      .selectExpr("doc_id",
+        "transform(sequence(0, length(text) - 8), " +
+          "i -> CAST(conv(substr(md5(substr(text, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)) AS kh")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(kh) - 4), j -> array_min(slice(kh, j + 1, 4)))) AS fps")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val (n, b) = (asMap(native), asMap(builtin))
+    assert(n.nonEmpty)
+    assert(n == b)
+  }
+
   test("dot_long participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // non-literal input so the optimizer can't constant-fold the call
