@@ -240,7 +240,7 @@ object Dedup {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val q = Tables.embeddings(s, dir).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))").as("e"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("e"))
       val norms = q.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
       def bit(d: Int): Column = when(element_at(col("e"), d) >= 0, 1).otherwise(0)
       val bands = q.select(col("vec_id"), posexplode(array(
@@ -266,7 +266,7 @@ object Dedup {
     },
     Some(s"""
       WITH qv AS (SELECT vec_id,
-                         list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
       bands AS (SELECT vec_id, b AS band,

@@ -23,7 +23,7 @@ object Ann {
   private val N_QUERIES = 10 // query set = vec_id < 10
 
   private val quant: Column =
-    expr("transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))")
+    expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
 
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
@@ -56,7 +56,7 @@ object Ann {
         .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
     },
     Some(s"""
-      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
       pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -112,7 +112,7 @@ object Ann {
     "ann_lsh_topk",
     (s, dir) => lshTopkFrom(Tables.embeddings(s, dir), s),
     Some(s"""
-      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS e
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
       bits AS (SELECT vec_id, j,

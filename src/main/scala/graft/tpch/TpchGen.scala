@@ -143,13 +143,17 @@ object TpchGen {
       retailPrice(col("i") + 1).as("p_retailprice"),
       words("pc", col("i"), 3).as("p_comment"))
 
-  /** ps_suppkey layout per the spec: the j-th (j∈0..3) supplier of
-    * part pk is ((pk + j·(S/4 + (pk-1)/S)) mod S) + 1 — spreads each
-    * part's 4 suppliers evenly; [[lineitem]] picks its supplier with
-    * the same formula, so lineitem (partkey, suppkey) pairs always
-    * exist in partsupp. */
+  /** ps_suppkey layout after the spec's: the j-th (j∈0..3) supplier
+    * of part pk is ((pk + (pk-1)/S + j·(S/4)) mod S) + 1 — each
+    * part's suppliers spread across the four quarters of the supplier
+    * space with a per-part-block shift. (The spec multiplies the
+    * block shift by j too, which collides mod S below its official
+    * minimum sf; hoisting it guarantees 4 distinct suppliers for any
+    * S ≥ 4: j·⌊S/4⌋ < S for j ≤ 3.) [[lineitem]] picks its supplier
+    * with the same formula, so lineitem (partkey, suppkey) pairs
+    * always exist in partsupp. */
   private def psSupp(pk: Column, j: Column, s: Long): Column =
-    pmod(pk + j * (lit(s / 4) + ((pk - 1) / lit(s)).cast("long")), lit(s)) + 1
+    pmod(pk + ((pk - 1) / lit(s)).cast("long") + j * lit(s / 4), lit(s)) + 1
 
   def partsupp(spark: SparkSession, sf: Double, numParts: Int = 0, part: Int = -1): DataFrame = {
     val s = rows(sf, 10000)
@@ -210,8 +214,11 @@ object TpchGen {
     val s = rows(sf, 10000)
     val base = ids(spark, rows(sf, 1500000), numParts, part)
       .select(orderKey(col("i")).as("l_orderkey"))
+      // 1..7 lines per order from okey%7 (not a hash): near-uniform
+      // over the sparse key stream AND replayable in plain SQL, which
+      // keeps the gen_rowcounts oracle scale-adaptive
       .select(col("l_orderkey"),
-        explode(sequence(lit(1), (u("nl", col("l_orderkey"), 7) + 1).cast("int")))
+        explode(sequence(lit(1), (pmod(col("l_orderkey"), lit(7)) + 1).cast("int")))
           .as("l_linenumber"))
     val rowId = col("l_orderkey") * 8 + col("l_linenumber") // unique per line
     val pk = u("lp", rowId, p) + 1
@@ -259,9 +266,11 @@ object TpchGen {
     "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
 
   /** Distributed generation of all 8 tables; returns (table_name,
-    * n_rows). The lineitem count is a deterministic function of the
-    * per-order hash (independent of partitioning) — pinned in the
-    * oracle. */
+    * n_rows). The oracle derives every expected count from the
+    * testdata row counts at the SAME sf (spec scaling: partsupp =
+    * 4·parts; lineitem replays the sparse-orderkey + okey%7 layout
+    * via `range(count(orders))`), so the check is scale-adaptive, not
+    * pinned to sf0.01. */
   val genRowcounts: GQuery = GQuery(
     "gen_rowcounts",
     (s, dir) => {
@@ -278,17 +287,21 @@ object TpchGen {
     Some("""
       SELECT 'region' AS table_name, CAST(5 AS BIGINT) AS n_rows
       UNION ALL SELECT 'nation', 25
-      UNION ALL SELECT 'supplier', 100
-      UNION ALL SELECT 'customer', 1500
-      UNION ALL SELECT 'part', 2000
-      UNION ALL SELECT 'partsupp', 8000
-      UNION ALL SELECT 'orders', 15000
-      UNION ALL SELECT 'lineitem', 60457"""),
+      UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier)
+      UNION ALL SELECT 'customer', (SELECT count(*) FROM customer)
+      UNION ALL SELECT 'part', (SELECT count(*) FROM part)
+      UNION ALL SELECT 'partsupp', 4 * (SELECT count(*) FROM part)
+      UNION ALL SELECT 'orders', (SELECT count(*) FROM orders)
+      UNION ALL SELECT 'lineitem',
+        (SELECT CAST(sum(1 + ((((i // 8) * 32) + (i % 8) + 1) % 7)) AS BIGINT)
+         FROM (SELECT row_number() OVER () - 1 AS i FROM orders) t)"""),
     tags = Set("gen"))
 
-  /** Value-domain profile of generated lineitem at sf0.01 — proves
-    * spec-shaped generation (key ranges, qty/discount/tax domains,
-    * flag cardinalities). Constant oracle. */
+  /** Value-domain profile of generated lineitem — proves spec-shaped
+    * generation (key ranges, qty/discount/tax domains, flag
+    * cardinalities). Key ranges derive from the testdata counts at
+    * the same sf (scale-adaptive); value domains are sf-independent
+    * constants. */
   val genLineitemProfile: GQuery = GQuery(
     "gen_lineitem_profile",
     (s, dir) => {
@@ -305,9 +318,10 @@ object TpchGen {
         countDistinct(col("l_linestatus")).as("n_status"))
     },
     Some("""
-      SELECT CAST(1 AS BIGINT) AS min_okey, CAST(59976 AS BIGINT) AS max_okey,
-             CAST(1 AS BIGINT) AS min_pkey, CAST(2000 AS BIGINT) AS max_pkey,
-             CAST(1 AS BIGINT) AS min_skey, CAST(100 AS BIGINT) AS max_skey,
+      SELECT CAST(1 AS BIGINT) AS min_okey,
+             (SELECT ((count(*) - 1) // 8) * 32 + ((count(*) - 1) % 8) + 1 FROM orders) AS max_okey,
+             CAST(1 AS BIGINT) AS min_pkey, (SELECT count(*) FROM part) AS max_pkey,
+             CAST(1 AS BIGINT) AS min_skey, (SELECT count(*) FROM supplier) AS max_skey,
              CAST(1 AS BIGINT) AS min_ln, CAST(7 AS BIGINT) AS max_ln,
              CAST(1 AS DOUBLE) AS min_qty, CAST(50 AS DOUBLE) AS max_qty,
              CAST(0.0 AS DOUBLE) AS min_disc, CAST(0.1 AS DOUBLE) AS max_disc,
@@ -319,7 +333,7 @@ object TpchGen {
     * layout (exactly 4 distinct suppliers per part) and zero dangling
     * FKs — and every generated lineitem (partkey, suppkey) pair
     * exists in partsupp (the psSupp formula shared between the two
-    * generators). Constant oracle. */
+    * generators). Scale-adaptive oracle (n_pairs = 4·parts). */
   val genPartsuppJoin: GQuery = GQuery(
     "gen_partsupp_join",
     (s, dir) => {
@@ -342,7 +356,7 @@ object TpchGen {
         .crossJoin(lNotInPs.agg(count(lit(1)).as("lineitem_pairs_not_in_ps")))
     },
     Some("""
-      SELECT CAST(8000 AS BIGINT) AS n_pairs,
+      SELECT 4 * (SELECT count(*) FROM part) AS n_pairs,
              CAST(4 AS BIGINT) AS min_supp_per_part, CAST(4 AS BIGINT) AS max_supp_per_part,
              CAST(0 AS BIGINT) AS dangling_part_fk, CAST(0 AS BIGINT) AS dangling_supp_fk,
              CAST(0 AS BIGINT) AS lineitem_pairs_not_in_ps"""),

@@ -32,17 +32,16 @@ class TpchGenSpec extends SparkSpecBase {
     assert(full.toSeq == sliced.toSeq)
   }
 
-  test("partsupp: exactly 4 distinct suppliers per part, FKs resolve") {
-    // at sf0.01+ (S>=100) the spec stride formula guarantees 4 distinct
-    // suppliers; at S=10 (sf0.001, far below TPC-H's official minimum
-    // sf) some strides collide mod S — test at the spec-valid scale
-    val ps = TpchGen.partsupp(spark, 0.01)
-    val perPart = ps.groupBy(col("ps_partkey"))
-      .agg(countDistinct(col("ps_suppkey")).as("n"))
-      .agg(min(col("n")).as("mn"), max(col("n")).as("mx")).head()
-    assert(perPart.getLong(0) == 4 && perPart.getLong(1) == 4)
-    val su = TpchGen.supplier(spark, 0.01).select(col("s_suppkey"))
-    assert(ps.join(su, col("ps_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
+  test("partsupp: exactly 4 distinct suppliers per part at any scale, FKs resolve") {
+    for (sf <- Seq(0.001, 0.01)) {
+      val ps = TpchGen.partsupp(spark, sf)
+      val perPart = ps.groupBy(col("ps_partkey"))
+        .agg(countDistinct(col("ps_suppkey")).as("n"))
+        .agg(min(col("n")).as("mn"), max(col("n")).as("mx")).head()
+      assert(perPart.getLong(0) == 4 && perPart.getLong(1) == 4, s"sf=$sf")
+      val su = TpchGen.supplier(spark, sf).select(col("s_suppkey"))
+      assert(ps.join(su, col("ps_suppkey") === col("s_suppkey"), "left_anti").count() == 0, s"sf=$sf")
+    }
   }
 
   test("lineitem (partkey, suppkey) pairs all exist in partsupp") {
