@@ -40,7 +40,7 @@ object Dedup {
   private val shinglesSql = """
       toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-             FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w)),
+             FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
       n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
 
   // ------------------------------------------------------------- exact

@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * and evaluates two lambda chains; this expression emits a single
   * fused loop into whole-stage codegen — the hot inner kernel of the
   * ANN / embedding-dedup operators, where it runs once per candidate
-  * pair. Null-safe; arrays of unequal length use the common prefix.
+  * pair. Null inputs and null ELEMENTS both yield null (matching the
+  * built-in spelling); arrays of unequal length use the common prefix
+  * (the built-in pads with null and yields null — the one documented
+  * divergence, asserted in FunctionsSpec).
   *
   * This is deliberately the (c)-tier extension point of the build
   * doctrine: compose built-ins where they express the semantics, drop
@@ -29,13 +32,19 @@ case class DotLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -43,13 +52,15 @@ case class DotLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long ${ev.value}_acc = 0L;
+         |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = ${ev.value}_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

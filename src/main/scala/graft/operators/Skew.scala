@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * runtime skew; these are for the cases it can't: aggregation
   * hot-keys (AQE doesn't split a hash-aggregate partition) and joins
   * where one key dominates so heavily that even split shuffle blocks
-  * all hash to one reducer lineage. Salting is deterministic
-  * (xxhash64 of the full row / explicit columns — no RNG), so results
-  * are reproducible and partition-invariant like everything else in
-  * this engine.
+  * all hash to one reducer lineage. The salt mixes the row's content
+  * hash with its physical position (monotonically_increasing_id), so
+  * even byte-identical duplicate rows — the canonical hot-key case —
+  * spread across salts. Row→salt assignment is therefore not stable
+  * across runs, but RESULTS are salt-invariant by construction
+  * (asserted in SkewSpec), which is the determinism that matters.
   */
 object Skew {
 
   private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts))
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+      monotonically_increasing_id()), lit(salts))
 
   /** Equi-join `big ⋈ small` on `key`, with the big side split
     * `salts` ways and the small side replicated `salts` times, so a

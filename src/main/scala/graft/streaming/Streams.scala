@@ -52,7 +52,11 @@ object Streams {
     * after `gapMinutes` idle; state is one (start, end, n) accumulator
     * per user, evicted by event-time timeout once the watermark passes
     * the gap — closed sessions are emitted either by a later event
-    * arriving past the gap or by the timeout firing. */
+    * arriving past the gap or by the timeout firing. Late
+    * (out-of-order) events within the gap of the ACTIVE session merge
+    * into it, extending bounds monotonically (min start / max end) —
+    * the bounded-state streaming approximation: history is never
+    * reconstructed for late data, only the open window absorbs it. */
   def sessionize(events: Dataset[SEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
@@ -72,7 +76,12 @@ object Streams {
             var acc = state.getOption
             for (e <- sorted) acc match {
               case Some(a) if e.ts.getTime - a.end.getTime <= gapMs =>
-                acc = Some(a.copy(end = e.ts, n_events = a.n_events + 1))
+                // a late-but-in-watermark event must never move the
+                // session window backward: extend bounds with min/max
+                acc = Some(SessionAcc(
+                  if (e.ts.before(a.start)) e.ts else a.start,
+                  if (e.ts.after(a.end)) e.ts else a.end,
+                  a.n_events + 1))
               case Some(a) =>
                 out += SessionOut(user, a.start, a.end, a.n_events)
                 acc = Some(SessionAcc(e.ts, e.ts, 1))

@@ -56,11 +56,17 @@ object TpchGen {
     * independently, e.g. one shard per task on a 1000-executor
     * backfill). */
   private def ids(spark: SparkSession, n: Long, numParts: Int, part: Int): DataFrame = {
-    val p = math.max(1, if (numParts > 0) numParts else spark.sparkContext.defaultParallelism)
     if (part >= 0) {
-      require(part < p, s"part $part out of $p")
-      spark.range(n * part / p, n * (part + 1) / p, 1, 1).toDF("i")
-    } else spark.range(0, n, 1, p).toDF("i")
+      // shard boundaries must not depend on the machine: an explicit
+      // numParts is required so slice [part] is the same slice on any
+      // cluster size
+      require(numParts > 0, "part requires an explicit numParts")
+      require(part < numParts, s"part $part out of $numParts")
+      spark.range(n * part / numParts, n * (part + 1) / numParts, 1, 1).toDF("i")
+    } else {
+      val p = math.max(1, if (numParts > 0) numParts else spark.sparkContext.defaultParallelism)
+      spark.range(0, n, 1, p).toDF("i")
+    }
   }
 
   private def rows(sf: Double, base: Long): Long = math.max(1L, (base * sf).toLong)

@@ -27,6 +27,13 @@ class FunctionsSpec extends SparkSpecBase {
     val withNull = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
       .select(expr("dot_long(a, b)")).collect()
     assert(withNull(0).isNullAt(0))
+    // null ELEMENTS propagate null too, matching the built-in spelling
+    val nullElem = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L)))
+      .toDF("a", "b")
+      .select(expr("dot_long(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("builtin"))
+      .collect()
+    assert(nullElem(0).isNullAt(0) && nullElem(0).isNullAt(1))
   }
 
   test("winnow_fps equals the built-in transform/slice spelling on real documents") {

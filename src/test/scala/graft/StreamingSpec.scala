@@ -41,16 +41,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exists(_.toString.contains("2024-01-01 10:00")), streamed.toString)
   }
 
-  test("sessionize emits closed sessions with correct bounds and counts") {
+  test("sessionize emits closed sessions with correct bounds, counts, and late-event merging") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SEvent]
-    mem.addData(events: _*)
+    // batch 1 WITHOUT the watermark-advancing tail, so batch 2's late
+    // event is still above the watermark (below it, Spark drops the
+    // row before the state function ever sees it)
+    mem.addData(events.filter(_.user_id != 9): _*)
     val q = Streams.sessionize(mem.toDS()).writeStream
       .format("memory").queryName("sess_out").outputMode("append").start()
     try {
       q.processAllAvailable()
-      // second batch lets event-time timeouts fire for idle users
+      // a LATE out-of-order event for user 2 (10:40 < the state's 10:45
+      // end, within the gap) must merge without moving the window
+      // backward
+      mem.addData(SEvent(2, ts("2024-01-01 10:40:00"), "click", 5.0))
+      q.processAllAvailable()
+      // two watermark-advancing batches: the first moves the watermark
+      // past every open session's timeout, the second triggers the
+      // timeout pass that emits them
+      mem.addData(SEvent(9, ts("2024-01-02 00:00:00"), "view", 0.0))
+      q.processAllAvailable()
       mem.addData(SEvent(9, ts("2024-01-03 00:00:00"), "view", 0.0))
       q.processAllAvailable()
     } finally q.stop()
@@ -60,8 +72,11 @@ class StreamingSpec extends SparkSpecBase {
       .toSet
     // user 1: first session = 2 events 10:05..10:20 (closed by the 11:30 event)
     assert(got.contains((1L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00"), 2L)), got.toString)
-    // user 1 second session and user 2's single-event session close via timeout
+    // user 1 second session closes via timeout
     assert(got.exists(s => s._1 == 1L && s._4 == 1L), got.toString)
-    assert(got.exists(s => s._1 == 2L && s._4 == 1L), got.toString)
+    // user 2: late event merged -> 10:40..10:45 with 2 events (never
+    // an inverted start > end window)
+    assert(got.contains((2L, ts("2024-01-01 10:40:00"), ts("2024-01-01 10:45:00"), 2L)), got.toString)
+    assert(got.forall(s => !s._2.after(s._3)), s"inverted session window: $got")
   }
 }

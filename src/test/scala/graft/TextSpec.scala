@@ -7,14 +7,13 @@ import org.apache.spark.sql.functions._
   * discrimination (unrelated docs share few). */
 class TextSpec extends SparkSpecBase {
 
+  // the SHIPPED fingerprint path (native winnow_fps), not a re-spelling
   private def fps(rows: (Long, String)*): Map[Long, Set[Long]] = {
+    graft.functions.GraftFunctions.register(spark)
     import TestSession.spark.implicits._
     rows.toDF("doc_id", "text")
-      .withColumn("kgram_hashes",
-        expr("transform(sequence(0, length(text) - 8), i -> xxhash64(substr(text, i + 1, 8)))"))
-      .withColumn("fp", explode(array_distinct(expr(
-        "transform(sequence(0, size(kgram_hashes) - 4), j -> array_min(slice(kgram_hashes, j + 1, 4)))"))))
-      .select(col("doc_id"), col("fp")).collect()
+      .select(col("doc_id"), explode(expr("winnow_fps(text, 8, 4)")).as("fp"))
+      .collect()
       .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
   }
 
