@@ -24,7 +24,8 @@ object Registry {
       similarity.Ann.all ++
       multimodal.Multimodal.all ++
       streaming.Streams.all ++
-      tpch.TpchGen.all
+      tpch.TpchGen.all ++
+      pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {
     val names = all.map(_.name)
