@@ -166,5 +166,94 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
   }
 
-  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk)
+  // ------------------------------------------------------- IVF-Flat
+
+  private val IVF_C = 16      // coarse centroids
+  private val IVF_NPROBE = 4  // probed lists per query
+
+  /** IVF-Flat ANN — the other standard scale path (complementing
+    * [[lshTopk]]): a coarse quantizer of [[IVF_C]] centroids
+    * partitions the corpus into inverted lists; a query scores only
+    * the [[IVF_NPROBE]] nearest lists. Centroids are hash-seeded
+    * (the C corpus vectors with smallest md5(vec_id) — deterministic
+    * sampling; real IVF would refine with Lloyd iterations, which
+    * would break nothing here but isn't needed for the plan shape).
+    * Centroid selection is a top-C (TakeOrdered — partial per
+    * partition, no global sort); assignment is a broadcast of C
+    * centroids against the corpus; probing scans ~NPROBE/C of the
+    * corpus per query. All similarity math is quantized-integer →
+    * the DuckDB oracle replays seeding, assignment, probing and
+    * scoring exactly. */
+  val ivfTopk: GQuery = GQuery(
+    "ann_ivf_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("e"))
+      val cents = vecs
+        .withColumn("hk", md5(col("vec_id").cast("string")))
+        .orderBy(col("hk"), col("vec_id")).limit(IVF_C)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      def nearestCents(side: DataFrame, idCol: String, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+        side.crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(expr("dot_long(e, ce)"),
+            expr("dot_long(e, e)"), expr("dot_long(ce, ce)")))
+          .withColumn("c_rnk", row_number().over(w))
+          .filter(col("c_rnk") <= keep)
+          .select(col(idCol), col("c_id"))
+      }
+      val assign = nearestCents(vecs, "vec_id", 1)
+      val probes = nearestCents(
+        vecs.filter(col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"),
+        "query_id", IVF_NPROBE)
+      val cand = probes.join(assign, Seq("c_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cand
+        .join(vecs.select(col("vec_id").as("q_id"), col("e").as("qe")), col("query_id") === col("q_id")).drop("q_id")
+        .join(vecs.select(col("vec_id"), col("e").as("ce2")), Seq("vec_id"))
+        .withColumn("cosine", cosine(expr("dot_long(qe, ce2)"),
+          expr("dot_long(qe, qe)"), expr("dot_long(ce2, ce2)")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      cents AS (SELECT vec_id AS c_id, e AS ce,
+                       CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS cn
+                FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IVF_C),
+      scored_cents AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, cents),
+      ranked_cents AS (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rnk
+        FROM scored_cents),
+      assign AS (SELECT vec_id, c_id FROM ranked_cents WHERE c_rnk = 1),
+      probes AS (SELECT vec_id AS query_id, c_id FROM ranked_cents
+                 WHERE vec_id < $N_QUERIES AND c_rnk <= $IVF_NPROBE),
+      cand AS (SELECT DISTINCT query_id, assign.vec_id
+               FROM probes JOIN assign USING (c_id)
+               WHERE assign.vec_id <> query_id),
+      dots AS (SELECT query_id, cand.vec_id,
+                      CAST(list_sum(list_transform(list_zip(qa.e, qc.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+               FROM cand JOIN qv qa ON query_id = qa.vec_id JOIN qv qc ON cand.vec_id = qc.vec_id),
+      scored AS (SELECT query_id, dots.vec_id AS vec_id,
+                        round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
+                 FROM dots JOIN norms nq ON query_id = nq.vec_id
+                           JOIN norms nc ON dots.vec_id = nc.vec_id)
+      SELECT query_id, vec_id, rnk, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $K"""),
+    tags = Set("ann"))
+
+  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk)
 }

@@ -25,6 +25,11 @@ class AnnSpec extends SparkSpecBase {
     val recall1 = (exact1 & lsh).size.toDouble / exact1.size
     assert(recall5 >= 0.4, s"recall@5 $recall5")
     assert(recall1 >= 0.5, s"recall@1 $recall1")
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, TestSession.sfDir01)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf5 = (exact5 & ivf).size.toDouble / exact5.size
+    assert(ivf5 >= 0.4, s"IVF recall@5 $ivf5")
   }
 
   test("approx_count_distinct within 5% of exact per event_type") {
