@@ -27,6 +27,16 @@ object Dedup {
 
   private val J_THRESHOLD = 0.5 // word-3-gram Jaccard near-dup cut
   private val C_THRESHOLD = 0.4 // embedding cosine near-dup cut
+  /** Max document frequency of a shingle used for candidate blocking.
+    * A shingle shared by df docs generates df²/2 candidate pairs in
+    * one join key; one boilerplate phrase in 10⁶ docs would be 10¹²
+    * pairs that AQE cannot split (it splits partitions, not pair
+    * counts). Shingles hotter than this cap carry no dedup signal
+    * (they're corpus-wide stop-phrases) and are dropped from
+    * BLOCKING only — the Jaccard verify still runs on full shingle
+    * sets, so pair scores are exact; only pairs whose every shared
+    * shingle is hot are missed. 64 caps any one key at ~2k pairs. */
+  private[graft] val DF_CAP = 64
 
   /** Distinct word-3-gram shingles per document. Docs with <3 words
     * cannot near-dup on 3-grams and are dropped (both sides). */
@@ -37,11 +47,58 @@ object Dedup {
         "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
         .as("shingle"))
 
-  private val shinglesSql = """
-      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shingles minus the hot ones (df > [[DF_CAP]]). The hot set is
+    * tiny by construction (heavy hitters), so the anti-join
+    * broadcasts; the df aggregation itself is map-side-combined, so
+    * the hot keys never concentrate raw rows on one reducer. */
+  private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CAP)
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Exact Jaccard over full shingle sets for a candidate pair list;
+    * keeps pairs ≥ [[J_THRESHOLD]]. Shared verify stage of the ngram
+    * / minhash / curate paths: cost is O(candidates), never O(N²). */
+  private[graft] def verifiedJaccard(cand: DataFrame, sh: DataFrame, n: DataFrame): DataFrame = {
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val j = round(col("inter").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= J_THRESHOLD)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** `toks`/`sh`/`n` CTEs over an arbitrary (doc_id, text) relation. */
+  private[graft] def shinglesSqlFrom(src: String): String = s"""
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-             FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+             FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+             WHERE len(w) >= 3),
       n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)"""
+
+  private val shinglesSql = shinglesSqlFrom("documents")
+
+  /** `inter`/`pairs` CTEs: exact-Jaccard verify over a `cand` CTE
+    * against the full `sh`/`n` — the SQL mirror of [[verifiedJaccard]]. */
+  private[graft] val verifySql: String = s"""
+      inter AS (SELECT doc_a, doc_b, count(*) AS inter
+                FROM cand JOIN sh sa ON doc_a = sa.doc_id
+                          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b,
+                       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+                FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+                WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD)"""
 
   // ------------------------------------------------------------- exact
 
@@ -62,42 +119,41 @@ object Dedup {
 
   // ----------------------------------------------------- n-gram Jaccard
 
-  /** Exact near-dup pairs by word-3-gram Jaccard ≥ 0.5, found via a
-    * shingle-explode blocking join: only documents sharing ≥1 shingle
-    * are ever paired (full recall for any positive threshold, no N²).
-    * This is the exact baseline; [[minhashLsh]] is the 100 TB path
-    * (constant-size signatures instead of full shingle sets). At
-    * scale, hot shingles (stop-phrases) get df-capped before the
-    * pair join — applied identically on both sides when enabled. */
+  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, found via a
+    * shingle-explode blocking join: only documents sharing ≥1
+    * non-hot shingle (df ≤ [[DF_CAP]]) are ever paired, so no key in
+    * the pair join can fan out past ~DF_CAP²/2 rows. The Jaccard
+    * itself is verified on FULL shingle sets (scores are exact; the
+    * cap affects candidate recall only, and only for pairs whose
+    * every shared shingle is corpus-hot). This is the exact-ish
+    * baseline; [[minhashLsh]] is the 100 TB path (constant-size
+    * signatures instead of full shingle sets). */
   val ngramJaccard: GQuery = GQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
       val sh = shingles(Tables.documents(s, dir))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      val j = round(col("inter").cast("double") /
-        (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
-      inter
-        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .withColumn("jaccard", j)
-        .filter(col("jaccard") >= J_THRESHOLD)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      verifiedJaccard(ngramCandidates(sh), sh, n)
     },
     Some(s"""
       WITH $shinglesSql,
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-             round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
-      FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
+      hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $DF_CAP),
+      shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      $verifySql
+      SELECT doc_a, doc_b, jaccard FROM pairs"""),
     tags = Set("dedup"))
+
+  /** Candidate pairs from the df-capped shingle blocking join. */
+  private[graft] def ngramCandidates(sh: DataFrame): DataFrame = {
+    val shc = cappedShingles(sh)
+    shc.as("a")
+      .join(shc.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   // ------------------------------------------------------- MinHash LSH
 
@@ -116,37 +172,40 @@ object Dedup {
   val minhashLsh: GQuery = GQuery(
     "dedup_minhash_lsh",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = shingles(docs)
+      val sh = shingles(Tables.documents(s, dir))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val minhashes = (0 until MH_K).map(i =>
-        min(substring(md5(concat_ws("|", lit(i.toString), col("shingle"))), 1, 16)).as(s"h$i"))
-      val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
-      val bands = mh.select(col("doc_id"), posexplode(array(
-        (0 until MH_K / 2).map(b => md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
-        .as(Seq("band", "bkey")))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val j = round(col("inter").cast("double") /
-        (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
-      inter
-        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .withColumn("jaccard", j)
-        .filter(col("jaccard") >= J_THRESHOLD)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      verifiedJaccard(bandCandidates(minhashBands(sh)), sh, n)
     },
     Some(s"""
       WITH $shinglesSql,
+      $minhashCandSql,
+      $verifySql
+      SELECT doc_a, doc_b, jaccard FROM pairs"""),
+    tags = Set("dedup"))
+
+  /** (doc_id, band, bkey) — 8-hash MinHash signature in ONE groupBy
+    * pass over the shingles (no ×K explode), banded 4×2. */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
+    val minhashes = (0 until MH_K).map(i =>
+      min(substring(md5(concat_ws("|", lit(i.toString), col("shingle"))), 1, 16)).as(s"h$i"))
+    val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    mh.select(col("doc_id"), posexplode(array(
+      (0 until MH_K / 2).map(b => md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
+      .as(Seq("band", "bkey")))
+  }
+
+  /** (doc_a, doc_b) pairs sharing any band bucket. */
+  private[graft] def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** `hashes`/`mh`/`bands`/`cand` CTEs over an `sh` CTE — the SQL
+    * mirror of [[minhashBands]] + [[bandCandidates]]. */
+  private[graft] lazy val minhashCandSql: String = s"""
       hashes AS (SELECT doc_id, i,
                         substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 16) AS h
                  FROM sh, range($MH_K) t(i)),
@@ -163,16 +222,7 @@ object Dedup {
         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mh),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                FROM bands x JOIN bands y
-                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      inter AS (SELECT doc_a, doc_b, count(*) AS inter
-                FROM cand JOIN sh sa ON doc_a = sa.doc_id
-                          JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-                GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-             round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
-      FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
-    tags = Set("dedup"))
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
 
   // ----------------------------------------------------------- SimHash
 

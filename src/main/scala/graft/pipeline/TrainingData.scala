@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.GQuery
 import graft.dedup.Dedup
-import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,10 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the two gates are pure per-row filters (no shuffle,
   * evaluated at the scan); exact dedup is one hash shuffle; near-dup
-  * removal reuses the shingle-blocking pair join and anti-joins the
-  * losers out. Nothing widens: every stage only drops rows, so the
-  * 100 TB input funnels monotonically. Each stage's criteria mirror
-  * [[graft.text.TextAnalysis]] / [[graft.dedup.Dedup]] semantics.
+  * removal runs MinHash-banded candidate generation (constant-size
+  * signatures — the [[graft.dedup.Dedup.minhashLsh]] scale path, NOT
+  * the raw shingle self-join) over only the gate+exact survivors,
+  * then anti-joins the verified losers out. Nothing widens: every
+  * stage only drops rows, so the 100 TB input funnels monotonically,
+  * and each stage's input is the previous stage's (smaller) output.
+  * Gate criteria mirror [[graft.text.TextAnalysis]] semantics.
   */
 object TrainingData {
 
@@ -28,7 +30,7 @@ object TrainingData {
     * near-dup stage keeps each pair's lower doc_id (doc_a), dropping
     * doc_b — the same keep-min policy as exact dedup. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = graft.sources.Tables.documents(spark, dir)
     val scored = docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")).cast("long"))
@@ -46,11 +48,14 @@ object TrainingData {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // near-dup losers (higher doc_id of each Jaccard>=0.5 pair) leave
-    val losers = Dedup.ngramJaccard.build(spark, dir)
+    val survivors = gated.join(exactKept, Seq("doc_id"), "left_semi")
+    // near-dup losers (higher doc_id of each Jaccard>=0.5 pair) leave;
+    // candidates come from MinHash band buckets over survivors only
+    val sh = Dedup.shingles(survivors.select(col("doc_id"), col("text")))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val losers = Dedup.verifiedJaccard(Dedup.bandCandidates(Dedup.minhashBands(sh)), sh, n)
       .select(col("doc_b").as("doc_id")).distinct()
-    gated
-      .join(exactKept, Seq("doc_id"), "left_semi")
+    survivors
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_words"), col("punct_ratio"))
   }
@@ -58,7 +63,7 @@ object TrainingData {
   val curateQuery: GQuery = GQuery(
     "pipeline_curate",
     (s, dir) => curate(s, dir),
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT doc_id, text,
                len(string_split(text, ' ')) AS n_words,
@@ -71,24 +76,18 @@ object TrainingData {
         FROM documents),
       gated AS (
         SELECT * FROM scored
-        WHERE n_words >= 20 AND punct_ratio <= 0.1 AND s_en >= s_other),
+        WHERE n_words >= $MIN_WORDS AND punct_ratio <= $MAX_PUNCT_RATIO AND s_en >= s_other),
       exact_kept AS (
         SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-             FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
-      n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-      losers AS (
-        SELECT DISTINCT doc_b AS doc_id
-        FROM inter JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-        WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= 0.5)
+      survivors AS (
+        SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM exact_kept)),
+      ${Dedup.shinglesSqlFrom("survivors")},
+      ${Dedup.minhashCandSql},
+      ${Dedup.verifySql},
+      losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
       SELECT doc_id, n_words, punct_ratio
-      FROM gated
-      WHERE doc_id IN (SELECT doc_id FROM exact_kept)
-        AND doc_id NOT IN (SELECT doc_id FROM losers)"""),
+      FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""),
     tags = Set("pipeline"))
 
   def all: Seq[GQuery] = Seq(curateQuery)

@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpecBase {
     assert(java.lang.Long.bitCount(s1 ^ s3) <= 3, s"hamming ${java.lang.Long.bitCount(s1 ^ s3)}")
   }
 
+  test("a corpus-hot shingle generates zero candidate pairs (df cap bounds the pair join)") {
+    // 1000 docs share one boilerplate shingle but are otherwise unique:
+    // without the df cap the blocking join would emit ~500k pairs from
+    // that single key; with it, the hot shingle is dropped from
+    // blocking and the unique shingles pair nothing
+    val hot = docs((1L to 1000L).map(i => i -> s"click here now unique$i words$i tail$i"): _*)
+    val sh = Dedup.shingles(hot)
+    assert(Dedup.ngramCandidates(sh).count() == 0)
+    // and a genuine near-dup pair is still found even when it ALSO
+    // shares the hot shingle, via its non-hot shared shingles
+    val planted = docs(
+      (Seq(2001L -> "click here now the quick brown fox jumps over the lazy dog",
+           2002L -> "click here now the quick brown fox jumps over the lazy cat") ++
+        (1L to 1000L).map(i => i -> s"click here now unique$i words$i tail$i")): _*)
+    val sh2 = Dedup.shingles(planted)
+    val cand = Dedup.ngramCandidates(sh2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSet == Set((2001L, 2002L)), s"got ${cand.toSeq}")
+  }
+
   test("minhash LSH finds all planted near-dups found by the exact baseline at sf0.01") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSession.sfDir01)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
