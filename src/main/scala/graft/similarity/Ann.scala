@@ -174,38 +174,54 @@ object Ann {
   /** IVF-Flat ANN — the other standard scale path (complementing
     * [[lshTopk]]): a coarse quantizer of [[IVF_C]] centroids
     * partitions the corpus into inverted lists; a query scores only
-    * the [[IVF_NPROBE]] nearest lists. Centroids are hash-seeded
-    * (the C corpus vectors with smallest md5(vec_id) — deterministic
-    * sampling; real IVF would refine with Lloyd iterations, which
-    * would break nothing here but isn't needed for the plan shape).
-    * Centroid selection is a top-C (TakeOrdered — partial per
-    * partition, no global sort); assignment is a broadcast of C
-    * centroids against the corpus; probing scans ~NPROBE/C of the
-    * corpus per query. All similarity math is quantized-integer →
-    * the DuckDB oracle replays seeding, assignment, probing and
+    * the [[IVF_NPROBE]] nearest lists. Seeding is deterministic (the
+    * C corpus vectors with smallest md5(vec_id)), then ONE Lloyd
+    * refinement step re-centres each list on its members'
+    * element-wise floor-mean — all aggregates, no window, and
+    * integer-exact so the oracle replays it. Corpus→centroid
+    * assignment is a partial+final `max_by` AGGREGATE over the
+    * crossJoin with the broadcast centroids (no row_number window: a
+    * window would shuffle AND sort all N×C rows to keep one; the
+    * aggregate combines map-side). The window top-k survives only on
+    * the probe side, where NPROBE>1 genuinely needs a ranking over Q×C
+    * rows (Q small). All similarity math is quantized-integer → the
+    * DuckDB oracle replays seeding, Lloyd, assignment, probing and
     * scoring exactly. */
   val ivfTopk: GQuery = GQuery(
     "ann_ivf_topk",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val vecs = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("e"))
-      val cents = vecs
+      val seeds = vecs
         .withColumn("hk", md5(col("vec_id").cast("string")))
         .orderBy(col("hk"), col("vec_id")).limit(IVF_C)
         .select(col("vec_id").as("c_id"), col("e").as("ce"))
-      def nearestCents(side: DataFrame, idCol: String, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      def withCos(side: DataFrame, cents: DataFrame): DataFrame =
         side.crossJoin(broadcast(cents))
           .withColumn("c_cos", cosine(expr("dot_long(e, ce)"),
             expr("dot_long(e, e)"), expr("dot_long(ce, ce)")))
-          .withColumn("c_rnk", row_number().over(w))
-          .filter(col("c_rnk") <= keep)
-          .select(col(idCol), col("c_id"))
-      }
-      val assign = nearestCents(vecs, "vec_id", 1)
-      val probes = nearestCents(
-        vecs.filter(col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"),
-        "query_id", IVF_NPROBE)
+      // nearest centroid per vector: aggregate, not window — max_by
+      // over (c_cos, -c_id) == rank-1 of (c_cos DESC, c_id ASC)
+      def assignTo(cents: DataFrame): DataFrame =
+        withCos(vecs, cents)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid"))).as("c_id"))
+      // one Lloyd step: element-wise floor-mean of each seed's members
+      val cents = assignTo(seeds)
+        .join(vecs, Seq("vec_id"))
+        .select(col("c_id"), posexplode(col("e")).as(Seq("d", "v")))
+        .groupBy(col("c_id"), col("d"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("c_id"), struct(col("d"), floor(col("sv") / col("cnt")).as("m")).as("dm"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(dm)), x -> x.m)").as("ce"))
+      val assign = assignTo(cents)
+      val w0 = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val probes = withCos(
+        vecs.filter(col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"), cents)
+        .withColumn("c_rnk", row_number().over(w0))
+        .filter(col("c_rnk") <= IVF_NPROBE)
+        .select(col("query_id"), col("c_id"))
       val cand = probes.join(assign, Seq("c_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id")).distinct()
@@ -223,9 +239,26 @@ object Ann {
       WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
-      cents AS (SELECT vec_id AS c_id, e AS ce,
+      seeds AS (SELECT vec_id AS c_id, e AS ce,
                        CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS cn
                 FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IVF_C),
+      seed_scored AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, seeds),
+      seed_assign AS (
+        SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM seed_scored) WHERE rn = 1),
+      dims AS (SELECT a.c_id, d, qv.e[d + 1] AS v
+               FROM seed_assign a JOIN qv USING (vec_id), range(64) t(d)),
+      dim_means AS (SELECT c_id, d, CAST(floor(sum(v) / count(*)) AS BIGINT) AS m
+                    FROM dims GROUP BY 1, 2),
+      cents AS (SELECT c_id, list(m ORDER BY d) AS ce,
+                       CAST(list_sum(list_transform(list(m ORDER BY d), x -> x * x)) AS BIGINT) AS cn
+                FROM dim_means GROUP BY 1),
       scored_cents AS (
         SELECT qv.vec_id, c_id,
                round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)

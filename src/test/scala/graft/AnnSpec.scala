@@ -28,8 +28,21 @@ class AnnSpec extends SparkSpecBase {
     val ivf = SparkEntry.queries("ann_ivf_topk")(spark, TestSession.sfDir01)
       .select(col("query_id"), col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the Lloyd refinement step lifted this from 0.40 (hash-seeded
+    // centroids) to 0.52; pin the refined floor
     val ivf5 = (exact5 & ivf).size.toDouble / exact5.size
-    assert(ivf5 >= 0.4, s"IVF recall@5 $ivf5")
+    assert(ivf5 >= 0.5, s"IVF recall@5 $ivf5")
+  }
+
+  test("IVF corpus assignment is an aggregate, not a window") {
+    val plan = SparkEntry.queries("ann_ivf_topk")(spark, TestSession.sfDir01)
+      .queryExecution.optimizedPlan.toString
+    // max_by over (c_cos, -c_id) replaces the N×C row_number window;
+    // the only windows left are the probe-side NPROBE rank (Q×C rows)
+    // and the final per-query top-k
+    assert(plan.contains("max_by"), "assignment max_by aggregate missing")
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 windows (probe rank + final top-k), got $windows")
   }
 
   test("approx_count_distinct within 5% of exact per event_type") {
