@@ -448,17 +448,30 @@ object Relational {
       FROM ids GROUP BY user_id, session_id"""),
     tags = Set("relational"))
 
-  /** HLL sketch: approx_count_distinct per group (rows-only check; the
-    * ±5%-of-exact tolerance is asserted in RelationalSpec). The sketch
-    * is mergeable → partial+final, no shuffle of raw user ids. */
+  /** HLL sketch: approx_count_distinct per group. The sketch is
+    * mergeable → partial+final, no shuffle of raw user ids. Sketch
+    * estimates aren't portable across engines, so the query emits the
+    * tolerance CONTRACT instead of the estimate: per group, the exact
+    * distinct count plus a boolean asserting the estimate landed
+    * within ±5% of it — which the DuckDB oracle can check exactly
+    * (expected: every group true). AnnSpec additionally measures the
+    * raw estimate against the exact count. */
   val approxDistinct: GQuery = GQuery(
     "op_approx_distinct",
     (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("cnt")),
-    None,
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("cnt"),
+          approx_count_distinct(col("user_id")).cast("double")
+            .between(countDistinct(col("user_id")) * 0.95,
+              countDistinct(col("user_id")) * 1.05)
+            .as("within_tol")),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             count(*) AS cnt, TRUE AS within_tol
+      FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
   def all: Seq[GQuery] = Seq(

