@@ -119,30 +119,47 @@ object Dedup {
 
   // ----------------------------------------------------- n-gram Jaccard
 
-  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, found via a
-    * shingle-explode blocking join: only documents sharing ≥1
-    * non-hot shingle (df ≤ [[DF_CAP]]) are ever paired, so no key in
-    * the pair join can fan out past ~DF_CAP²/2 rows. The Jaccard
-    * itself is verified on FULL shingle sets (scores are exact; the
-    * cap affects candidate recall only, and only for pairs whose
-    * every shared shingle is corpus-hot). This is the exact-ish
-    * baseline; [[minhashLsh]] is the 100 TB path (constant-size
-    * signatures instead of full shingle sets). */
+  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5 over the
+    * INFORMATIVE shingle space: shingles hotter than [[DF_CAP]]
+    * (corpus-wide stop-phrases, no dedup signal — the standard
+    * stopword-removal move) are dropped before both blocking and
+    * scoring, so no key in the pair join can fan out past
+    * ~DF_CAP²/2 rows AND the intersection count falls out of the
+    * same single aggregation as the blocking join — no second pass
+    * over the shingle sets. This is the exact-within-the-capped-
+    * space baseline; [[minhashLsh]] is the 100 TB path
+    * (constant-size signatures instead of full shingle sets). */
   val ngramJaccard: GQuery = GQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(Tables.documents(s, dir))
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      verifiedJaccard(ngramCandidates(sh), sh, n)
+      val shc = cappedShingles(shingles(Tables.documents(s, dir)))
+      val n = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = shc.as("a")
+        .join(shc.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val j = round(col("inter").cast("double") /
+        (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
+      inter
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("jaccard", j)
+        .filter(col("jaccard") >= J_THRESHOLD)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
     Some(s"""
-      WITH $shinglesSql,
+      WITH ${shinglesSqlFrom("documents")},
       hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $DF_CAP),
       shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-      $verifySql
-      SELECT doc_a, doc_b, jaccard FROM pairs"""),
+      nc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+      FROM inter JOIN nc na ON doc_a = na.doc_id JOIN nc nb ON doc_b = nb.doc_id
+      WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
     tags = Set("dedup"))
 
   /** Candidate pairs from the df-capped shingle blocking join. */

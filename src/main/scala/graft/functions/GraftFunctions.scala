@@ -98,21 +98,46 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFingerprints {
-  /** Called from generated code — stays inside whole-stage codegen. */
+  /** Per-thread (digest, 16-byte output) pair: MD5 provider lookup is
+    * expensive per row, and `digest(buf, off, len)` writes into the
+    * reused buffer instead of allocating one per gram. */
+  private val tl = new ThreadLocal[(java.security.MessageDigest, Array[Byte])] {
+    override def initialValue(): (java.security.MessageDigest, Array[Byte]) =
+      (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16))
+  }
+
+  /** Called from generated code — stays inside whole-stage codegen.
+    * Hashes each k-char gram directly as a byte range of the row's
+    * UTF-8 bytes (char→byte offsets computed once per row), so the
+    * loop allocates no per-gram substring/array — identical values to
+    * the md5-of-substring spelling the DuckDB oracle replays. */
   def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
     val n = s.numChars()
     if (n < k + w - 1) return ArrayData.toArrayData(Array.empty[Long])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val (md, out16) = tl.get()
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // byte offset of each codepoint start; offs(n) = nb
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < nb) {
+      offs(ci) = bi
+      ci += 1
+      val b = bytes(bi) & 0xff
+      bi += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+    }
+    offs(ci) = nb
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      md.reset()
-      val d = md.digest(s.substringSQL(i + 1, k).getBytes)
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      md.digest(out16, 0, 16) // finalises AND resets the digest
       // first 15 hex chars = top 60 bits of the first 8 digest bytes
       var v = 0L
       var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      while (b < 8) { v = (v << 8) | (out16(b) & 0xffL); b += 1 }
       hashes(i) = v >>> 4
       i += 1
     }
