@@ -277,6 +277,10 @@ object TpchGen {
       words("lc", rowId, 3).as("l_comment"))
   }
 
+  /** The 8 generated view names, registration order. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "supplier", "customer", "part", "partsupp", "orders", "lineitem")
+
   /** Register all 8 generated tables as temp views — ≙ the
     * reference's `tpch(sf)` UDTF (src/lib.rs:217-270). Overwrites any
     * same-named views (e.g. testdata ones from Tables.registerAll). */
@@ -289,6 +293,18 @@ object TpchGen {
     partsupp(spark, sf, numParts).createOrReplaceTempView("partsupp")
     orders(spark, sf, numParts).createOrReplaceTempView("orders")
     lineitem(spark, sf, numParts).createOrReplaceTempView("lineitem")
+  }
+
+  /** One-call SQL surface ≙ the reference's "register then query from
+    * SQL" demo (src/lib.rs:272-316): registers the 8 generated views
+    * at `sf` and runs the statement against them. Spark has no
+    * user-defined SQL table function to spell `tpch_lineitem(sf)`
+    * inline, so the sf parameter rides the registration call — the
+    * view bodies are lazy generator plans, not materialised data, so
+    * re-registering at a new sf is free. */
+  def sql(spark: SparkSession, sf: Double, stmt: String, numParts: Int = 0): DataFrame = {
+    registerAll(spark, sf, numParts)
+    spark.sql(stmt)
   }
 
   // ---------------------------------------------------- GQuery surface
