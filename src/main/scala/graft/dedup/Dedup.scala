@@ -38,6 +38,15 @@ object Dedup {
     * shingle is hot are missed. 64 caps any one key at ~2k pairs. */
   private[graft] val DF_CAP = 64
 
+  /** Max docs per band bucket used for candidate generation. Band
+    * keys are md5-uniform so RANDOM collisions never pile up, but a
+    * degenerate corpus region (one boilerplate template in B docs,
+    * surviving exact dedup on trivial wording diffs) puts all B in
+    * one bucket → B²/2 pairs on one join key. Buckets past this cap
+    * are dropped from candidate generation — the same heavy-hitter
+    * guard as [[DF_CAP]], one level up. */
+  private[graft] val BUCKET_CAP = 256
+
   /** Distinct word-3-gram shingles per document. Docs with <3 words
     * cannot near-dup on 3-grams and are dropped (both sides). */
   private[graft] def shingles(docs: DataFrame): DataFrame =
@@ -211,14 +220,22 @@ object Dedup {
       .as(Seq("band", "bkey")))
   }
 
-  /** (doc_a, doc_b) pairs sharing any band bucket. */
-  private[graft] def bandCandidates(bands: DataFrame): DataFrame =
-    bands.as("x")
-      .join(bands.as("y"),
+  /** (doc_a, doc_b) pairs sharing any band bucket of ≤ [[BUCKET_CAP]]
+    * docs (degenerate buckets dropped — tiny by construction, so the
+    * anti-join broadcasts). */
+  private[graft] def bandCandidates(bands: DataFrame): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > BUCKET_CAP)
+      .select(col("band"), col("bkey"))
+    val b = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    b.as("x")
+      .join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** `hashes`/`mh`/`bands`/`cand` CTEs over an `sh` CTE — the SQL
     * mirror of [[minhashBands]] + [[bandCandidates]]. */
@@ -237,8 +254,12 @@ object Dedup {
         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mh
         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mh
         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mh),
+      hotb AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > $BUCKET_CAP),
+      bandsc AS (SELECT b.* FROM bands b
+                 WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                   WHERE h.band = b.band AND h.bkey = b.bkey)),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bands x JOIN bands y
+               FROM bandsc x JOIN bandsc y
                  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
 
   // ----------------------------------------------------------- SimHash

@@ -51,6 +51,24 @@ class DedupSpec extends SparkSpecBase {
     assert(cand.toSet == Set((2001L, 2002L)), s"got ${cand.toSeq}")
   }
 
+  test("a degenerate band bucket generates zero candidate pairs (bucket cap)") {
+    // 1000 docs with identical shingle sets land in the same 4 band
+    // buckets; without the cap that is ~500k pairs per band from one
+    // key — with it, the degenerate buckets drop out entirely
+    val degenerate = docs((1L to 1000L).map(i => i -> "same boilerplate text every single time"): _*)
+    val shD = Dedup.shingles(degenerate)
+    assert(Dedup.bandCandidates(Dedup.minhashBands(shD)).count() == 0)
+    // a genuine near-dup pair in a small bucket is still found
+    val planted = docs(
+      (Seq(2001L -> "the quick brown fox jumps over the lazy dog",
+           2002L -> "the quick brown fox jumps over the lazy cat") ++
+        (1L to 1000L).map(i => i -> "same boilerplate text every single time")): _*)
+    val shP = Dedup.shingles(planted)
+    val cand = Dedup.bandCandidates(Dedup.minhashBands(shP))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((2001L, 2002L)), s"got $cand")
+  }
+
   test("minhash LSH finds all planted near-dups found by the exact baseline at sf0.01") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSession.sfDir01)
       .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
