@@ -11,6 +11,10 @@ import java.sql.Timestamp
   * streaming ops need). */
 final case class SEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+/** One document on an ingest stream (the `documents` columns plus the
+  * arrival time that anchors the dedup-state watermark). */
+final case class SDoc(doc_id: Long, ingest_ts: Timestamp, text: String)
+
 final case class SessionAcc(start: Timestamp, end: Timestamp, n_events: Long)
 final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
@@ -97,6 +101,27 @@ object Streams {
       }
   }
 
+  /** Exact dedup at ingest — how a 100 TB corpus dedups INCREMENTALLY
+    * instead of re-scanning itself per delivery: every arriving
+    * document's md5(text) is checked against streaming state, dups
+    * are dropped on arrival. `dropDuplicatesWithinWatermark` keeps
+    * the hash state bounded to the watermark horizon (a re-ingest
+    * beyond the horizon counts as a new observation — the standard
+    * bounded-state contract; unbounded `dropDuplicates` would grow
+    * state forever). State per doc is the 16-byte hash, not the text. */
+  def dedupStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("text_md5", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
+  /** The batch twin of [[dedupStream]]: same transform minus the
+    * watermark. `dropDuplicates` keeps an ARBITRARY physical row per
+    * hash, so only the hash set itself is deterministic — the parity
+    * key projects exactly that. */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text_md5", md5(col("text")))
+      .dropDuplicates("text_md5")
+
   /** Batch-parity key: the identical [[windowedAgg]] transform on the
     * batch events table, oracle-checked vs DuckDB time_bucket. */
   val streamWindowedAgg: GQuery = GQuery(
@@ -109,5 +134,13 @@ object Streams {
       FROM events GROUP BY 1, 2"""),
     tags = Set("streaming"))
 
-  def all: Seq[GQuery] = Seq(streamWindowedAgg)
+  /** Batch-parity key for [[dedupStream]]: the deduped hash set over
+    * the batch documents table. */
+  val streamDedup: GQuery = GQuery(
+    "stream_dedup",
+    (s, dir) => dedupDocs(Tables.documents(s, dir)).select(col("text_md5")),
+    Some("SELECT DISTINCT md5(text) AS text_md5 FROM documents"),
+    tags = Set("streaming"))
+
+  def all: Seq[GQuery] = Seq(streamWindowedAgg, streamDedup)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{SEvent, Streams}
+import graft.streaming.{SDoc, SEvent, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
     assert(streamed.exists(_.toString.contains("2024-01-01 10:00")), streamed.toString)
+  }
+
+  test("dedupStream drops within-horizon duplicate texts across micro-batches") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SDoc]
+    val q = Streams.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: one in-batch duplicate pair
+      mem.addData(
+        SDoc(1, ts("2024-01-01 10:00:00"), "alpha text"),
+        SDoc(2, ts("2024-01-01 10:01:00"), "alpha text"),
+        SDoc(3, ts("2024-01-01 10:02:00"), "beta text"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (within the watermark
+      // horizon → state still remembers "alpha text") plus a new doc
+      mem.addData(
+        SDoc(4, ts("2024-01-01 10:30:00"), "alpha text"),
+        SDoc(5, ts("2024-01-01 10:31:00"), "gamma text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").select(col("text")).collect().map(_.getString(0))
+    assert(got.length == 3, s"expected 3 survivors, got ${got.toSeq}")
+    assert(got.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
   test("sessionize emits closed sessions with correct bounds, counts, and late-event merging") {
