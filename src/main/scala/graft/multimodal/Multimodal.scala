@@ -97,5 +97,55 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  def all: Seq[GQuery] = Seq(metadata)
+  /** The [[decodeFeatures]] mapPartitions path as a checkable key:
+    * because the stub decode is deterministic over the payload bytes,
+    * the DuckDB oracle replays the whole per-partition "decode"
+    * (mean byte = Σ of the 16 md5 bytes / 16 — a power-of-two divide
+    * of an exact integer sum, so the double is bit-identical). */
+  val decodeFeaturesQuery: GQuery = GQuery(
+    "mm_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      decodeFeatures(media(s, dir)).toDF().select(
+        col("doc_id"), col("format"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("mean_byte"),
+        col("frames").cast("long").as("frames"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, ('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT AS v
+                 FROM documents, range(16) t(i))
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+             CAST(16 AS BIGINT) AS n_bytes,
+             CAST(sum(v) AS DOUBLE) / 16 AS mean_byte,
+             CAST(4 AS BIGINT) AS frames
+      FROM b GROUP BY doc_id"""),
+    tags = Set("multimodal"))
+
+  /** Video-frame sampling plumbing: each doc carries a synthetic
+    * frame count (8 + doc_id%8) and every 4th frame is selected via
+    * `sequence`+`explode` — the whole fan-out stays in codegen, the
+    * per-frame "feature" is expression-derived, and at scale the
+    * explode widens each row by ≤4 sampled frames (bounded, no
+    * shuffle). A real decoder slots into the [[decodeFeatures]]
+    * partition iterator downstream of this exact shape. */
+  val frameSample: GQuery = GQuery(
+    "mm_frame_sample",
+    (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        explode(sequence(lit(0), (lit(7) + col("doc_id") % 8).cast("int"), lit(4)))
+          .as("fi"))
+        .select(col("doc_id"), col("fi").cast("long").as("frame_no"))
+        .withColumn("frame_feat",
+          conv(substring(md5(concat_ws("_", col("doc_id"), col("frame_no"))), 1, 2), 16, 10)
+            .cast("long")),
+    Some("""
+      SELECT doc_id, i AS frame_no,
+             ('0x' || substr(md5(doc_id::VARCHAR || '_' || i::VARCHAR), 1, 2))::BIGINT AS frame_feat
+      FROM documents, unnest(generate_series(0, 7 + doc_id % 8, 4)) t(i)"""),
+    tags = Set("multimodal"))
+
+  def all: Seq[GQuery] = Seq(metadata, decodeFeaturesQuery, frameSample)
 }
