@@ -60,7 +60,14 @@ object Streams {
     * (out-of-order) events within the gap of the ACTIVE session merge
     * into it, extending bounds monotonically (min start / max end) —
     * the bounded-state streaming approximation: history is never
-    * reconstructed for late data, only the open window absorbs it. */
+    * reconstructed for late data, only the open window absorbs it.
+    *
+    * Heap note: the per-trigger sort buffers ONE user's CURRENT
+    * micro-batch events on the task heap — bounded by trigger
+    * interval × that user's event rate, not by history (state itself
+    * is a fixed-size accumulator). A pathological single-key firehose
+    * should be rate-limited or pre-bucketed upstream; the group
+    * iterator here cannot spill. */
   def sessionize(events: Dataset[SEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
