@@ -474,9 +474,31 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** [[Skew.saltedSum]] as a keyed operator: two-phase salted
+    * aggregation over the events table, whose handful of event_type
+    * values IS the aggregation-hot-key shape (5 keys over every
+    * partition — at 100 TB one reduce task per key would absorb the
+    * whole stream without the salt split). Values are summed as exact
+    * integer cents, so the result is salt- and order-invariant and
+    * the plain GROUP BY oracle matches bit-for-bit. */
+  val saltedAgg: GQuery = GQuery(
+    "op_salted_agg",
+    (s, dir) =>
+      Skew.saltedSum(
+        Tables.events(s, dir)
+          .withColumn("v_cents", floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+          .select(col("event_type"), col("v_cents")),
+        "event_type", "v_cents"),
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v_cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, conditionalAgg, rangeJoin,
-    asofJoin, sessionize, approxDistinct)
+    asofJoin, sessionize, approxDistinct, saltedAgg)
 }

@@ -44,11 +44,18 @@ object TrainingData {
     val gated = scored
       .filter(col("n_words") >= MIN_WORDS && col("punct_ratio") <= MAX_PUNCT_RATIO)
       .filter(col("s_en") >= col("s_other"))
-    val exactKept = gated
+      .select(col("doc_id"), col("text"), col("n_words"), col("punct_ratio"))
+    // exact dedup as ONE min_by aggregation (keep the min-doc_id row
+    // per text hash): a min+semi-join spelling would re-scan the
+    // documents and re-evaluate the gate regexes once per branch and
+    // add a join shuffle; this shuffles the gated rows once
+    val survivors = gated
       .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val survivors = gated.join(exactKept, Seq("doc_id"), "left_semi")
+      .agg(min_by(
+        struct(col("doc_id"), col("text"), col("n_words"), col("punct_ratio")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.n_words").as("n_words"), col("r.punct_ratio").as("punct_ratio"))
     // near-dup losers (higher doc_id of each Jaccard>=0.5 pair) leave;
     // candidates come from MinHash band buckets over survivors only
     val sh = Dedup.shingles(survivors.select(col("doc_id"), col("text")))
