@@ -295,6 +295,56 @@ object Dedup {
       FROM sig"""),
     tags = Set("dedup"))
 
+  private val HAM_T = 3 // max hamming distance for a simhash near-dup
+
+  /** SimHash near-dup PAIRS — the verify stage over [[simhash]]'s
+    * signatures: candidates share a 12-bit hamming band (equi-join on
+    * (band, bucket), degenerate buckets capped via [[bandCandidates]]
+    * exactly like the minhash path), verified by popcount of the
+    * XORed 48-bit signatures ≤ [[HAM_T]]. Everything is integer
+    * bit-math on md5-derived hashes, so the DuckDB oracle replays
+    * signatures, banding, candidates and verify exactly. Constant
+    * 8-byte signature per doc — like [[minhashLsh]], a shape whose
+    * shuffle width is independent of document size. */
+  val simhashPairs: GQuery = GQuery(
+    "dedup_simhash_pairs",
+    (s, dir) => {
+      val sigs = simhashSignatures(Tables.documents(s, dir))
+      val bands = sigs.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "bkey")))
+      val h = bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).cast("long")
+      bandCandidates(bands)
+        .join(sigs.select(col("doc_id"), col("simhash")).as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.select(col("doc_id"), col("simhash")).as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("hamming", h)
+        .filter(col("hamming") <= HAM_T)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT DISTINCT doc_id, t AS tok
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                    WHERE length(t) > 0),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks),
+      bits AS (SELECT doc_id, i,
+                      sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM th, range(48) t(i) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1),
+      bands AS (SELECT doc_id, b AS band, (simhash >> (12 * b)) & 4095 AS bkey
+                FROM sig, range(4) t(b)),
+      hotb AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > $BUCKET_CAP),
+      bandsc AS (SELECT b.* FROM bands b
+                 WHERE NOT EXISTS (SELECT 1 FROM hotb h
+                                   WHERE h.band = b.band AND h.bkey = b.bkey)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bandsc x JOIN bandsc y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HAM_T"""),
+    tags = Set("dedup"))
+
   /** (doc_id, simhash, band0..band3) — reusable signature builder. */
   private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -374,5 +424,5 @@ object Dedup {
       WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $C_THRESHOLD"""),
     tags = Set("dedup"))
 
-  def all: Seq[GQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedding)
+  def all: Seq[GQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding)
 }
