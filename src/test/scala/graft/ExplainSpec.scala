@@ -23,4 +23,20 @@ class ExplainSpec extends SparkSpecBase {
     val p = plan("dedup_minhash_lsh")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("dedup_ngram_jaccard: the hot-shingle cap is a BROADCAST anti-join") {
+    // the heavy-hitter set is tiny by construction; a shuffled anti-join
+    // here would re-shuffle the full shingle stream just to drop a
+    // handful of keys
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("pipeline_curate: exact dedup is one min_by aggregate, no dedup self-join") {
+    val p = SparkEntry.queries("pipeline_curate")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("min_by"), "exact-dedup min_by aggregate missing")
+    // LeftSemi would mean the old agg+semi-join spelling crept back
+    assert(!p.contains("LeftSemi"), "unexpected semi-join in curate plan")
+  }
 }
