@@ -25,6 +25,24 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed (and bucket-sorted) parquet table: rows are hash-split
+    * into `nBuckets` files per partition by `bucketCol`, recorded in
+    * the catalog, so every LATER join or aggregation keyed on
+    * `bucketCol` between co-bucketed tables reads pre-partitioned
+    * data and plans with NO shuffle exchange — the pay-the-shuffle-
+    * once pattern for a 100 TB fact table that is joined on the same
+    * key query after query (SinksSpec pins the exchange-free plan).
+    * Registered as an external table at `path` (the catalog holds
+    * only metadata; DROP TABLE leaves the files). */
+  def writeBucketed(df: DataFrame, table: String, path: String, bucketCol: String,
+      nBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it
     * in production paths). */

@@ -24,6 +24,30 @@ class SinksSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters"), scan.take(1500))
   }
 
+  test("co-bucketed tables join with no shuffle exchange") {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+    Sinks.writeBucketed(o, "b_orders", tmp("b_orders"), "o_orderkey", 4)
+    Sinks.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", tmp("b_lineitem"), "o_orderkey", 4)
+    // at sf0.001 the planner would just broadcast the small side and
+    // skip bucketing; disable auto-broadcast to exercise the plan the
+    // buckets exist for (at 100 TB neither fact side is broadcastable)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"), s"scan is not bucket-aware:\n${plan.take(2000)}")
+      assert(joined.count() == l.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("csv round-trip preserves rows with an explicit schema") {
     val dir = tmp("csv")
     val src = Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name"))
