@@ -149,5 +149,40 @@ object Streams {
     Some("SELECT DISTINCT md5(text) AS text_md5 FROM documents"),
     tags = Set("streaming"))
 
-  def all: Seq[GQuery] = Seq(streamWindowedAgg, streamDedup)
+  /** Stream-stream interval join: each click pairs with the same
+    * user's views in the following hour. Both sides carry watermarks
+    * AND the join condition bounds view_ts relative to click_ts, so
+    * Spark can evict join state from both sides as the watermark
+    * advances — without the interval, stream-stream join state grows
+    * forever. Works identically on batch inputs (`withWatermark` is a
+    * no-op there), which is what the parity key checks. */
+  def intervalJoin(clicks: DataFrame, views: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("view_ts"))
+  }
+
+  /** Batch-parity key for [[intervalJoin]] over the events table. */
+  val streamIntervalJoin: GQuery = GQuery(
+    "stream_interval_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+    },
+    Some("""
+      SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts
+      FROM events c JOIN events v ON c.user_id = v.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR"""),
+    tags = Set("streaming"))
+
+  def all: Seq[GQuery] = Seq(streamWindowedAgg, streamDedup, streamIntervalJoin)
 }

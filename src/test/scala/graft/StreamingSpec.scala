@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("intervalJoin pairs clicks with same-user views inside the hour, through micro-batches") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[SEvent]
+    val views = MemoryStream[SEvent]
+    val q = Streams.intervalJoin(clicks.toDF(), views.toDF()).writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(SEvent(1, ts("2024-01-01 10:00:00"), "click", 1.0))
+      views.addData(
+        SEvent(1, ts("2024-01-01 10:30:00"), "view", 1.0), // in window → match
+        SEvent(1, ts("2024-01-01 12:00:00"), "view", 1.0), // past the hour → no match
+        SEvent(2, ts("2024-01-01 10:15:00"), "view", 1.0)) // other user → no match
+      q.processAllAvailable()
+      // a view arriving in a LATER micro-batch still joins the
+      // buffered click state
+      views.addData(SEvent(1, ts("2024-01-01 10:45:00"), "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"))), got.toString)
+  }
+
   test("sessionize emits closed sessions with correct bounds, counts, and late-event merging") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
