@@ -149,5 +149,41 @@ object TextAnalysis {
       FROM w"""),
     tags = Set("text"))
 
-  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint)
+  /** IDF-style rarity scoring: every word occurrence is weighted by
+    * the bit length of its corpus-wide document frequency (an
+    * integer-exact ⌊log₂ df⌋+1 — no floating-point log, so the DuckDB
+    * oracle agrees bit-for-bit), and each document reports its mean
+    * weight: low = built from rare words, high = stop-word soup. The
+    * corpus-statistics join is the real pattern here — a df table
+    * computed once (map-side-combined aggregate) then joined back to
+    * the occurrence stream, 1:N per key so AQE partition splitting
+    * absorbs the stop-word skew (no quadratic fan-out possible). */
+  val rarity: GQuery = GQuery(
+    "text_rarity",
+    (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val df = words.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      words.join(df, "w")
+        .withColumn("bl", length(conv(col("df"), 10, 2)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"),
+          round(avg(col("bl")), 4).as("mean_df_bits"),
+          min(col("bl")).as("rarest_bits"))
+    },
+    Some("""
+      WITH occ AS (SELECT doc_id, t AS w
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0),
+      df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM occ) GROUP BY 1),
+      wl AS (SELECT doc_id, length(printf('%b', df)) AS bl FROM occ JOIN df USING (w))
+      SELECT doc_id, count(*) AS n_occ,
+             round(avg(bl), 4) AS mean_df_bits,
+             CAST(min(bl) AS BIGINT) AS rarest_bits
+      FROM wl GROUP BY 1"""),
+    tags = Set("text"))
+
+  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint, rarity)
 }
