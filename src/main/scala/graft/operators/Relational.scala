@@ -454,8 +454,11 @@ object Relational {
     * tolerance CONTRACT instead of the estimate: per group, the exact
     * distinct count plus a boolean asserting the estimate landed
     * within ±5% of it — which the DuckDB oracle can check exactly
-    * (expected: every group true). AnnSpec additionally measures the
-    * raw estimate against the exact count. */
+    * (expected: every group true). The sketch runs at rsd=0.01 so the
+    * ±5% contract sits 5 standard deviations out (the DEFAULT rsd is
+    * 0.05 — the contract boundary itself — and duly broke at sf0.1);
+    * cost is a ~12 KB register array per group, still mergeable.
+    * AnnSpec additionally measures the raw estimate. */
   val approxDistinct: GQuery = GQuery(
     "op_approx_distinct",
     (s, dir) =>
@@ -464,7 +467,7 @@ object Relational {
         .agg(
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("cnt"),
-          approx_count_distinct(col("user_id")).cast("double")
+          approx_count_distinct(col("user_id"), rsd = 0.01).cast("double")
             .between(countDistinct(col("user_id")) * 0.95,
               countDistinct(col("user_id")) * 1.05)
             .as("within_tol")),

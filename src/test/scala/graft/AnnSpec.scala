@@ -52,9 +52,11 @@ class AnnSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getBoolean(r.fieldIndex("within_tol")),
       s"${r.getString(r.fieldIndex("event_type"))} estimate outside 5%"))
     // and the raw estimate itself, measured independently of the query
+    // (same rsd=0.01 sketch precision as the operator)
     val approx = graft.sources.Tables.events(spark, TestSession.sfDir01)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("a"), countDistinct(col("user_id")).as("n"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("a"),
+        countDistinct(col("user_id")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     approx.foreach { case (k, a, n) =>
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
