@@ -27,24 +27,29 @@ object Dedup {
 
   private val J_THRESHOLD = 0.5 // word-3-gram Jaccard near-dup cut
   private val C_THRESHOLD = 0.4 // embedding cosine near-dup cut
-  /** Max document frequency of a shingle used for candidate blocking.
+  /** Max document frequency of a shingle used by [[ngramJaccard]].
     * A shingle shared by df docs generates df²/2 candidate pairs in
     * one join key; one boilerplate phrase in 10⁶ docs would be 10¹²
     * pairs that AQE cannot split (it splits partitions, not pair
     * counts). Shingles hotter than this cap carry no dedup signal
-    * (they're corpus-wide stop-phrases) and are dropped from
-    * BLOCKING only — the Jaccard verify still runs on full shingle
-    * sets, so pair scores are exact; only pairs whose every shared
-    * shingle is hot are missed. 64 caps any one key at ~2k pairs. */
+    * (they're corpus-wide stop-phrases) and are dropped from BOTH
+    * blocking and scoring there — ngram Jaccard values are exact
+    * within the capped shingle space (stopword-removal semantics),
+    * NOT full-set values; [[minhashLsh]]'s verify, by contrast, uses
+    * full shingle sets. 64 caps any one key at ~2k pairs. */
   private[graft] val DF_CAP = 64
 
-  /** Max docs per band bucket used for candidate generation. Band
-    * keys are md5-uniform so RANDOM collisions never pile up, but a
-    * degenerate corpus region (one boilerplate template in B docs,
-    * surviving exact dedup on trivial wording diffs) puts all B in
-    * one bucket → B²/2 pairs on one join key. Buckets past this cap
-    * are dropped from candidate generation — the same heavy-hitter
-    * guard as [[DF_CAP]], one level up. */
+  /** Max docs per band bucket paired ALL-TO-ALL in candidate
+    * generation. Band keys are md5-uniform so RANDOM collisions never
+    * pile up, but a degenerate corpus region (one boilerplate
+    * template in B docs, surviving exact dedup on trivial wording
+    * diffs) puts all B in one bucket → B²/2 pairs on one join key.
+    * Buckets past this cap fall back to CHAIN candidates (each doc
+    * pairs with its doc_id-successor in the bucket: B−1 pairs,
+    * linear) — if the bucket really is one near-dup cluster, the
+    * chain verifies link by link and connects it transitively, so
+    * keep-min dedup still collapses the whole cluster; only
+    * non-adjacent pairs in MIXED over-cap buckets are missed. */
   private[graft] val BUCKET_CAP = 256
 
   /** Distinct word-3-gram shingles per document. Docs with <3 words
@@ -56,16 +61,22 @@ object Dedup {
         "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
         .as("shingle"))
 
-  /** Shingles minus the hot ones (df > [[DF_CAP]]). The hot set is
-    * tiny by construction (heavy hitters), so the anti-join
-    * broadcasts; the df aggregation itself is map-side-combined, so
-    * the hot keys never concentrate raw rows on one reducer. */
+  /** Shingles minus the hot ones (df > [[DF_CAP]]). No broadcast
+    * HINT on the anti-join: on a small corpus the hot set is a
+    * handful of stop-phrases and AQE broadcasts it from runtime
+    * stats, but on a Zipfian web corpus the df>cap tail can run to
+    * many millions of shingles — far past any broadcast limit — and
+    * there the shuffled anti-join is the only shape that works (both
+    * sides are already partitioned by shingle from the df aggregate,
+    * so the exchange is reused, not added). The df aggregation
+    * itself is map-side-combined, so hot keys never concentrate raw
+    * rows on one reducer. */
   private[graft] def cappedShingles(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > DF_CAP)
       .select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh.join(hot, Seq("shingle"), "left_anti")
   }
 
   /** Exact Jaccard over full shingle sets for a candidate pair list;
@@ -220,21 +231,28 @@ object Dedup {
       .as(Seq("band", "bkey")))
   }
 
-  /** (doc_a, doc_b) pairs sharing any band bucket of ≤ [[BUCKET_CAP]]
-    * docs (degenerate buckets dropped — tiny by construction, so the
-    * anti-join broadcasts). */
+  /** (doc_a, doc_b) pairs sharing a band bucket: all-to-all inside
+    * buckets of ≤ [[BUCKET_CAP]] docs, doc_id-successor chains inside
+    * bigger (degenerate) ones — candidate count per bucket is
+    * min(B²/2, B−1)-bounded either way, and a true duplicate cluster
+    * stays transitively connected through its chain. */
   private[graft] def bandCandidates(bands: DataFrame): DataFrame = {
-    val hot = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > BUCKET_CAP)
-      .select(col("band"), col("bkey"))
-    val b = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    b.as("x")
-      .join(b.as("y"),
+    val sized = bands.join(
+      bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsize")),
+      Seq("band", "bkey"))
+    val small = sized.filter(col("bsize") <= BUCKET_CAP)
+    val pairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+    val chained = sized.filter(col("bsize") > BUCKET_CAP)
+      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+    pairs.unionByName(chained).distinct()
   }
 
   /** `hashes`/`mh`/`bands`/`cand` CTEs over an `sh` CTE — the SQL
@@ -254,13 +272,18 @@ object Dedup {
         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mh
         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mh
         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mh),
-      hotb AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > $BUCKET_CAP),
-      bandsc AS (SELECT b.* FROM bands b
-                 WHERE NOT EXISTS (SELECT 1 FROM hotb h
-                                   WHERE h.band = b.band AND h.bkey = b.bkey)),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bandsc x JOIN bandsc y
-                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+      bsz AS (SELECT band, bkey, count(*) AS bsize FROM bands GROUP BY 1, 2),
+      bandss AS (SELECT b.*, bsize FROM bands b JOIN bsz USING (band, bkey)),
+      cand_small AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                     FROM bandss x JOIN bandss y
+                       ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+                     WHERE x.bsize <= $BUCKET_CAP),
+      cand_chain AS (SELECT doc_id AS doc_a,
+                            lead(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS doc_b
+                     FROM bandss WHERE bsize > $BUCKET_CAP),
+      cand AS (SELECT DISTINCT doc_a, doc_b FROM
+               (SELECT * FROM cand_small
+                UNION ALL SELECT * FROM cand_chain WHERE doc_b IS NOT NULL))"""
 
   // ----------------------------------------------------------- SimHash
 
@@ -333,13 +356,18 @@ object Dedup {
               FROM bits GROUP BY 1),
       bands AS (SELECT doc_id, b AS band, (simhash >> (12 * b)) & 4095 AS bkey
                 FROM sig, range(4) t(b)),
-      hotb AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > $BUCKET_CAP),
-      bandsc AS (SELECT b.* FROM bands b
-                 WHERE NOT EXISTS (SELECT 1 FROM hotb h
-                                   WHERE h.band = b.band AND h.bkey = b.bkey)),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bandsc x JOIN bandsc y
-                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      bsz AS (SELECT band, bkey, count(*) AS bsize FROM bands GROUP BY 1, 2),
+      bandss AS (SELECT b.*, bsize FROM bands b JOIN bsz USING (band, bkey)),
+      cand_small AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                     FROM bandss x JOIN bandss y
+                       ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+                     WHERE x.bsize <= $BUCKET_CAP),
+      cand_chain AS (SELECT doc_id AS doc_a,
+                            lead(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS doc_b
+                     FROM bandss WHERE bsize > $BUCKET_CAP),
+      cand AS (SELECT DISTINCT doc_a, doc_b FROM
+               (SELECT * FROM cand_small
+                UNION ALL SELECT * FROM cand_chain WHERE doc_b IS NOT NULL))
       SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
       FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HAM_T"""),

@@ -115,19 +115,23 @@ object WinnowFingerprints {
     val n = s.numChars()
     if (n < k + w - 1) return ArrayData.toArrayData(Array.empty[Long])
     val (md, out16) = tl.get()
+    md.reset() // clear any state a prior row's failure left buffered
     val bytes = s.getBytes
     val nb = bytes.length
-    // byte offset of each codepoint start; offs(n) = nb
+    // byte offset of each codepoint start; offs(n) = nb. Step with
+    // UTF8String's OWN byte-length table so char indexing agrees with
+    // numChars() even on malformed UTF-8 (a home-grown step table
+    // would drift on stray continuation/0xF8+ bytes → negative gram
+    // lengths or silent md5("") divergence)
     val offs = new Array[Int](n + 1)
     var ci = 0
     var bi = 0
-    while (bi < nb) {
+    while (bi < nb && ci < n) {
       offs(ci) = bi
       ci += 1
-      val b = bytes(bi) & 0xff
-      bi += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(bi))
     }
-    offs(ci) = nb
+    while (ci <= n) { offs(ci) = nb; ci += 1 }
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
     var i = 0

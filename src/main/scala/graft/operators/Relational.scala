@@ -448,17 +448,19 @@ object Relational {
       FROM ids GROUP BY user_id, session_id"""),
     tags = Set("relational"))
 
-  /** HLL sketch: approx_count_distinct per group. The sketch is
-    * mergeable → partial+final, no shuffle of raw user ids. Sketch
-    * estimates aren't portable across engines, so the query emits the
-    * tolerance CONTRACT instead of the estimate: per group, the exact
-    * distinct count plus a boolean asserting the estimate landed
-    * within ±5% of it — which the DuckDB oracle can check exactly
-    * (expected: every group true). The sketch runs at rsd=0.01 so the
-    * ±5% contract sits 5 standard deviations out (the DEFAULT rsd is
-    * 0.05 — the contract boundary itself — and duly broke at sf0.1);
-    * cost is a ~12 KB register array per group, still mergeable.
-    * AnnSpec additionally measures the raw estimate. */
+  /** HLL sketch: approx_count_distinct per group. The production
+    * shape is the sketch ALONE — mergeable partial+final, fixed-size
+    * state, no shuffle of raw user ids. Sketch estimates aren't
+    * portable across engines, so THIS KEY also computes the exact
+    * distinct count (which does shuffle raw ids — that cost is the
+    * verification harness, not the operator) and emits the tolerance
+    * CONTRACT: per group, the exact count plus a boolean asserting
+    * the estimate landed within ±5% of it, which the DuckDB oracle
+    * checks exactly (expected: every group true). The sketch runs at
+    * rsd=0.01 so the ±5% contract sits 5 standard deviations out
+    * (the DEFAULT rsd is 0.05 — the contract boundary itself — and
+    * duly broke at sf0.1); cost is a ~12 KB register array per
+    * group, still mergeable. AnnSpec measures the raw estimate. */
   val approxDistinct: GQuery = GQuery(
     "op_approx_distinct",
     (s, dir) =>

@@ -24,12 +24,14 @@ class ExplainSpec extends SparkSpecBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(1500))
   }
 
-  test("dedup_ngram_jaccard: the hot-shingle cap is a BROADCAST anti-join") {
-    // the heavy-hitter set is tiny by construction; a shuffled anti-join
-    // here would re-shuffle the full shingle stream just to drop a
-    // handful of keys
+  test("dedup_ngram_jaccard: the hot-shingle cap is an anti-join with no forced broadcast") {
+    // no broadcast HINT: on a small corpus AQE converts to broadcast
+    // from runtime stats, but on a Zipfian web corpus the df>cap tail
+    // is far past any broadcast limit — the plan must stay valid for
+    // both, so only the anti-join itself (and no nested loop) is pinned
     val p = plan("dedup_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("pipeline_curate: exact dedup is one min_by aggregate, no dedup self-join") {
