@@ -53,6 +53,42 @@ class FunctionsSpec extends SparkSpecBase {
     assert(n == b)
   }
 
+  test("winnow_fps equals the built-in spelling on arbitrary unicode strings (property)") {
+    GraftFunctions.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // mixed-width codepoints exercise the char→byte offset mapping:
+    // ASCII (1B), Latin/Greek (2B), CJK (3B), emoji (4B, surrogate
+    // pairs in the JVM string)
+    val alphabet = "ab c1é的ß漢字🌍x"
+    val gen = for {
+      len <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(len, Gen.oneOf(
+        alphabet.codePoints().toArray.toIndexedSeq))
+    } yield cs.map(Character.toChars(_).mkString).mkString
+    val samples = (0 until 200).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    import TestSession.spark.implicits._
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.selectExpr("id", "winnow_fps(text, 8, 4) AS fps")
+    val builtin = df
+      .selectExpr("id",
+        "CASE WHEN length(text) >= 11 THEN transform(sequence(0, length(text) - 8), " +
+          "i -> CAST(conv(substr(md5(substr(text, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END AS kh")
+      .selectExpr("id",
+        "CASE WHEN size(kh) >= 4 THEN array_distinct(transform(sequence(0, size(kh) - 4), " +
+          "j -> array_min(slice(kh, j + 1, 4)))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS fps")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val (n, b) = (asMap(native), asMap(builtin))
+    assert(n.size == samples.size)
+    assert(n == b, {
+      val bad = n.keys.filter(k => n(k) != b(k)).take(3)
+      bad.map(k => s"id=$k text='${samples(k.toInt)}'").mkString("; ")
+    })
+  }
+
   test("dot_long participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // non-literal input so the optimizer can't constant-fold the call
