@@ -324,6 +324,34 @@ object Relational {
       FROM events GROUP BY event_type"""),
     tags = Set("relational"))
 
+  /** GK-sketch quantile: approx_percentile per group, emitted as a
+    * RANK-ERROR contract the oracle can check exactly (the same
+    * pattern as op_approx_distinct — sketch values aren't portable,
+    * their guarantees are). The GK guarantee bounds rank error at
+    * 1/accuracy = 1% regardless of partial-merge order, so the exact
+    * rank of the estimated median must land in 50%±5% — computed by
+    * joining the estimate back and counting values at or below it.
+    * The sketch itself is mergeable partial+final with
+    * O(accuracy·log N) state; the exact-rank recount is the
+    * verification harness, not the production shape. */
+  val approxQuantile: GQuery = GQuery(
+    "op_approx_quantile",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ap = ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5D, 100)").as("ap50"))
+      ev.join(ap, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)))
+            .between(0.45, 0.55).as("median_rank_ok"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS cnt, TRUE AS median_rank_ok
+      FROM events GROUP BY 1"""),
+    tags = Set("relational"))
+
   /** Filtered aggregates — FILTER (WHERE …) clauses. */
   val conditionalAgg: GQuery = GQuery(
     "op_conditional_agg",
@@ -504,6 +532,6 @@ object Relational {
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
-    distinctOp, explodedAgg, percentiles, conditionalAgg, rangeJoin,
-    asofJoin, sessionize, approxDistinct, saltedAgg)
+    distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
+    rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg)
 }
