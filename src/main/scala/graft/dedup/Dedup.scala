@@ -232,11 +232,19 @@ object Dedup {
   }
 
   /** (doc_a, doc_b) pairs sharing a band bucket: all-to-all inside
-    * buckets of ≤ [[BUCKET_CAP]] docs, doc_id-successor chains inside
-    * bigger (degenerate) ones — candidate count per bucket is
-    * min(B²/2, B−1)-bounded either way, and a true duplicate cluster
-    * stays transitively connected through its chain. */
-  private[graft] def bandCandidates(bands: DataFrame): DataFrame = {
+    * buckets of ≤ [[BUCKET_CAP]] docs, successor chains inside bigger
+    * (degenerate) ones — candidate count per bucket is
+    * min(B²/2, B−1)-bounded either way. `chainOrder` must be a
+    * SIMILARITY-PRESERVING ordering for the chain to connect true
+    * clusters: for minhash buckets, membership itself is the full
+    * band signature, so any order (doc_id) keeps a signature-equal
+    * cluster connected; for coarse buckets (simhash's 4096/band,
+    * where at scale EVERY bucket over-caps from random collisions),
+    * pass the signature column so signature-equal docs sit adjacent
+    * in the chain and exact-signature clusters still pair. `bands`
+    * must carry every column `chainOrder` references. */
+  private[graft] def bandCandidates(
+      bands: DataFrame, chainOrder: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
     val sized = bands.join(
       bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsize")),
       Seq("band", "bkey"))
@@ -247,11 +255,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+      .partitionBy(col("band"), col("bkey")).orderBy(chainOrder :+ col("doc_id"): _*)
     val chained = sized.filter(col("bsize") > BUCKET_CAP)
       .withColumn("nxt", lead(col("doc_id"), 1).over(w))
       .filter(col("nxt").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("nxt").as("doc_b"))
+      .select(least(col("doc_id"), col("nxt")).as("doc_a"),
+        greatest(col("doc_id"), col("nxt")).as("doc_b"))
     pairs.unionByName(chained).distinct()
   }
 
@@ -333,10 +342,13 @@ object Dedup {
     "dedup_simhash_pairs",
     (s, dir) => {
       val sigs = simhashSignatures(Tables.documents(s, dir))
-      val bands = sigs.select(col("doc_id"), posexplode(array(
+      val bands = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "bkey")))
       val h = bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).cast("long")
-      bandCandidates(bands)
+      // chain over-cap buckets in SIGNATURE order: simhash's 12-bit
+      // buckets over-cap from random collisions at scale, and only a
+      // signature-sorted chain keeps signature-equal docs adjacent
+      bandCandidates(bands, chainOrder = Seq(col("simhash")))
         .join(sigs.select(col("doc_id"), col("simhash")).as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sigs.select(col("doc_id"), col("simhash")).as("sb"), col("doc_b") === col("sb.doc_id"))
         .withColumn("hamming", h)
@@ -354,7 +366,7 @@ object Dedup {
       sig AS (SELECT doc_id,
                      CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
               FROM bits GROUP BY 1),
-      bands AS (SELECT doc_id, b AS band, (simhash >> (12 * b)) & 4095 AS bkey
+      bands AS (SELECT doc_id, simhash, b AS band, (simhash >> (12 * b)) & 4095 AS bkey
                 FROM sig, range(4) t(b)),
       bsz AS (SELECT band, bkey, count(*) AS bsize FROM bands GROUP BY 1, 2),
       bandss AS (SELECT b.*, bsize FROM bands b JOIN bsz USING (band, bkey)),
@@ -362,12 +374,14 @@ object Dedup {
                      FROM bandss x JOIN bandss y
                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
                      WHERE x.bsize <= $BUCKET_CAP),
-      cand_chain AS (SELECT doc_id AS doc_a,
-                            lead(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS doc_b
-                     FROM bandss WHERE bsize > $BUCKET_CAP),
+      cand_chain AS (SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+                     FROM (SELECT doc_id,
+                                  lead(doc_id) OVER (PARTITION BY band, bkey
+                                                     ORDER BY simhash, doc_id) AS nxt
+                           FROM bandss WHERE bsize > $BUCKET_CAP)
+                     WHERE nxt IS NOT NULL),
       cand AS (SELECT DISTINCT doc_a, doc_b FROM
-               (SELECT * FROM cand_small
-                UNION ALL SELECT * FROM cand_chain WHERE doc_b IS NOT NULL))
+               (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_chain))
       SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
       FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HAM_T"""),

@@ -328,9 +328,10 @@ object Relational {
     * RANK-ERROR contract the oracle can check exactly (the same
     * pattern as op_approx_distinct — sketch values aren't portable,
     * their guarantees are). The GK guarantee bounds rank error at
-    * 1/accuracy = 1% regardless of partial-merge order, so the exact
-    * rank of the estimated median must land in 50%±5% — computed by
-    * joining the estimate back and counting values at or below it.
+    * 1/accuracy = 1% regardless of partial-merge order, so the
+    * estimated median's exact TIE RANGE [count(<v), count(≤v)] over
+    * non-null values must straddle 50%±5% — computed by joining the
+    * estimate back and counting strictly-below and at-or-below.
     * The sketch itself is mergeable partial+final with
     * O(accuracy·log N) state; the exact-rank recount is the
     * verification harness, not the production shape. */
@@ -340,12 +341,18 @@ object Relational {
       val ev = Tables.events(s, dir)
       val ap = ev.groupBy(col("event_type"))
         .agg(expr("approx_percentile(value, 0.5D, 100)").as("ap50"))
+      // tie-aware, null-aware rank contract: the estimate's TIE RANGE
+      // [count(<v), count(<=v)] must straddle the 50%±5% band over
+      // NON-NULL values (the sketch ignores nulls; a point mass at
+      // the median makes count(<=v) alone overshoot even when the
+      // sketch is exactly right)
       ev.join(ap, "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
-            count(lit(1)))
-            .between(0.45, 0.55).as("median_rank_ok"))
+          ((sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).cast("double") /
+            count(col("value")) <= 0.55) &&
+            (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
+              count(col("value")) >= 0.45)).as("median_rank_ok"))
     },
     Some("""
       SELECT event_type, count(*) AS cnt, TRUE AS median_rank_ok

@@ -45,6 +45,26 @@ class AnnSpec extends SparkSpecBase {
     assert(windows == 2, s"expected 2 windows (probe rank + final top-k), got $windows")
   }
 
+  test("approx-quantile rank contract: tie range straddles the band on a point-mass distribution") {
+    // 40% of rows share the median value: the naive count(<=v)/n = 0.7
+    // would false-fail even though the sketch is exactly right; the
+    // tie-range contract [count(<v), count(<=v)] ∍ 50%±5% must hold
+    import TestSession.spark.implicits._
+    val rows = (Seq.fill(400)(50.0) ++ (1 to 300).map(_ / 10.0) ++
+      (1 to 300).map(i => 100.0 + i)).map(v => ("e", v))
+    val df = rows.toDF("event_type", "value")
+    val ap = df.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5D, 100)").as("ap50"))
+    val got = df.join(ap, "event_type")
+      .groupBy(col("event_type"))
+      .agg(((sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).cast("double") /
+        count(col("value")) <= 0.55) &&
+        (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
+          count(col("value")) >= 0.45)).as("ok"))
+      .head()
+    assert(got.getBoolean(1), "tie-range contract failed on point-mass input")
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     // the query's own contract column must hold on every group
     val rows = SparkEntry.queries("op_approx_distinct")(spark, TestSession.sfDir01).collect()
