@@ -413,8 +413,17 @@ object Dedup {
     * from ×10000 integer-quantized vectors, so dot and norms are
     * exact integer sums (order-independent) and the final
     * divide/sqrt/round is bit-identical in DuckDB — the oracle
-    * replays blocking AND verify exactly. AnnSpec measures recall of
-    * this blocking against the brute-force baseline. */
+    * replays blocking AND verify exactly.
+    *
+    * Scale note: 4-bit bands give 16 buckets/band, so bucket size
+    * grows as N/16 — right for THIS corpus's low (0.4) threshold,
+    * where more bits would collapse recall, but at web scale with a
+    * real ≥0.9 threshold the band width must grow with the corpus
+    * (8–16 bits/band; the [[graft.similarity.Ann.lshTopk]] 32-bit/8-
+    * band hyperplane construction is that path, reusable here by
+    * swapping the sign-bit source). Capping these STRUCTURAL buckets
+    * would gut recall — unlike minhash/simhash buckets, big buckets
+    * here are the design, not degeneracy. */
   val embedding: GQuery = GQuery(
     "dedup_embedding",
     (s, dir) => {
