@@ -287,12 +287,14 @@ object Dedup {
                      FROM bandss x JOIN bandss y
                        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
                      WHERE x.bsize <= $BUCKET_CAP),
-      cand_chain AS (SELECT doc_id AS doc_a,
-                            lead(doc_id) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS doc_b
-                     FROM bandss WHERE bsize > $BUCKET_CAP),
+      cand_chain AS (SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+                     FROM (SELECT doc_id,
+                                  lead(doc_id) OVER (PARTITION BY band, bkey
+                                                     ORDER BY doc_id) AS nxt
+                           FROM bandss WHERE bsize > $BUCKET_CAP)
+                     WHERE nxt IS NOT NULL),
       cand AS (SELECT DISTINCT doc_a, doc_b FROM
-               (SELECT * FROM cand_small
-                UNION ALL SELECT * FROM cand_chain WHERE doc_b IS NOT NULL))"""
+               (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_chain))"""
 
   // ----------------------------------------------------------- SimHash
 

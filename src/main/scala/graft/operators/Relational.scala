@@ -335,24 +335,31 @@ object Relational {
     * The sketch itself is mergeable partial+final with
     * O(accuracy·log N) state; the exact-rank recount is the
     * verification harness, not the production shape. */
+  /** Tie-aware, null-aware rank contract over grouped rows carrying
+    * `value` and the group's `ap50` estimate: the estimate's TIE
+    * RANGE [count(<v), count(≤v)] must straddle the 50%±5% band over
+    * NON-NULL values (the sketch ignores nulls; a point mass at the
+    * median makes count(≤v) alone overshoot even when the sketch is
+    * exactly right). Vacuously true for an all-NULL group — the
+    * sketch has nothing to estimate there. Shared with the AnnSpec
+    * point-mass regression test so the test guards the PRODUCTION
+    * expression, not a copy. */
+  private[graft] def medianRankOk: Column =
+    (count(col("value")) === 0L) ||
+      ((sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).cast("double") /
+        count(col("value")) <= 0.55) &&
+        (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
+          count(col("value")) >= 0.45))
+
   val approxQuantile: GQuery = GQuery(
     "op_approx_quantile",
     (s, dir) => {
       val ev = Tables.events(s, dir)
       val ap = ev.groupBy(col("event_type"))
         .agg(expr("approx_percentile(value, 0.5D, 100)").as("ap50"))
-      // tie-aware, null-aware rank contract: the estimate's TIE RANGE
-      // [count(<v), count(<=v)] must straddle the 50%±5% band over
-      // NON-NULL values (the sketch ignores nulls; a point mass at
-      // the median makes count(<=v) alone overshoot even when the
-      // sketch is exactly right)
       ev.join(ap, "event_type")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          ((sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).cast("double") /
-            count(col("value")) <= 0.55) &&
-            (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
-              count(col("value")) >= 0.45)).as("median_rank_ok"))
+        .agg(count(lit(1)).as("cnt"), medianRankOk.as("median_rank_ok"))
     },
     Some("""
       SELECT event_type, count(*) AS cnt, TRUE AS median_rank_ok

@@ -55,14 +55,20 @@ class AnnSpec extends SparkSpecBase {
     val df = rows.toDF("event_type", "value")
     val ap = df.groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, 0.5D, 100)").as("ap50"))
+    // uses the PRODUCTION contract expression, so a regression to the
+    // naive count(<=v)/count(*) form fails here
     val got = df.join(ap, "event_type")
       .groupBy(col("event_type"))
-      .agg(((sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).cast("double") /
-        count(col("value")) <= 0.55) &&
-        (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
-          count(col("value")) >= 0.45)).as("ok"))
+      .agg(graft.operators.Relational.medianRankOk.as("ok"))
       .head()
     assert(got.getBoolean(1), "tie-range contract failed on point-mass input")
+    // all-NULL group is vacuously true, matching the oracle's TRUE
+    val nulls = Seq(("n", None: Option[Double]), ("n", None)).toDF("event_type", "value")
+    val gotNull = nulls.withColumn("ap50", lit(null).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Relational.medianRankOk.as("ok"))
+      .head()
+    assert(gotNull.getBoolean(1), "all-NULL group must satisfy the contract vacuously")
   }
 
   test("approx_count_distinct within 5% of exact per event_type") {
