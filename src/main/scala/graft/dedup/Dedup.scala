@@ -408,64 +408,77 @@ object Dedup {
 
   // ------------------------------------------------- embedding cosine
 
+  private val EMB_BANDS = 4
+  /** Default sign-band width for [[embeddingPairs]]: 2^4 = 16 buckets
+    * per band — sized for THIS corpus (~10³ vectors) and its low
+    * (0.4) threshold. The parameter, not this default, is the scale
+    * contract: bitsPerBand ≈ log₂(N / target_bucket_size). */
+  private[graft] val EMB_BITS = 4
+
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4 on this corpus; real
     * pipelines run ≥0.9 where sign-LSH recall is ≥0.95). Blocking:
-    * 16 sign bits (dims 1..16 of the quantized vector) in 4 bands of
-    * 4 — an equi-join on (band, bucket), no N². Verification: cosine
-    * from ×10000 integer-quantized vectors, so dot and norms are
-    * exact integer sums (order-independent) and the final
-    * divide/sqrt/round is bit-identical in DuckDB — the oracle
-    * replays blocking AND verify exactly.
+    * [[graft.similarity.Ann.signBands]] md5-derived random-hyperplane
+    * signs, [[EMB_BANDS]] bands × `bitsPerBand` bits — an equi-join
+    * on (band, bucket), no N². Verification: cosine from ×10000
+    * integer-quantized vectors, so dot and norms are exact integer
+    * sums (order-independent) and the final divide/sqrt/round is
+    * bit-identical in DuckDB — the oracle replays hyperplane signs,
+    * banding AND verify exactly.
     *
-    * Scale note: 4-bit bands give 16 buckets/band, so bucket size
-    * grows as N/16 — right for THIS corpus's low (0.4) threshold,
-    * where more bits would collapse recall, but at web scale with a
-    * real ≥0.9 threshold the band width must grow with the corpus
-    * (8–16 bits/band; the [[graft.similarity.Ann.lshTopk]] 32-bit/8-
-    * band hyperplane construction is that path, reusable here by
-    * swapping the sign-bit source). Capping these STRUCTURAL buckets
-    * would gut recall — unlike minhash/simhash buckets, big buckets
-    * here are the design, not degeneracy. */
+    * Scale note: these STRUCTURAL buckets must not be chain-capped
+    * (that guts recall — unlike minhash/simhash buckets, big buckets
+    * here are the design, not degeneracy). Instead bucket size is
+    * governed by `bitsPerBand`: buckets per band = 2^bits, so width
+    * grows with the corpus (8–16 bits at web scale, where the ≥0.9
+    * threshold keeps per-plane agreement ≥0.86 and recall holds) and
+    * the all-to-all inside a bucket stays bounded at any N. DedupSpec
+    * pins the max-bucket-size drop as width rises on a clustered
+    * corpus. */
+  private[graft] def embeddingPairs(s: SparkSession, dir: String,
+      bitsPerBand: Int = EMB_BITS): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val q = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("e"))
+    val norms = q.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
+    val bands = graft.similarity.Ann.signBands(q, s, EMB_BANDS, bitsPerBand)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val cos = round(col("dot").cast("double") /
+      (sqrt(col("na.nn").cast("double")) * sqrt(col("nb.nn").cast("double"))), 6)
+    cand
+      .join(q.select(col("vec_id"), col("e").as("ea")), col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(q.select(col("vec_id"), col("e").as("eb")), col("vec_b") === col("vec_id")).drop("vec_id")
+      .withColumn("dot", expr("dot_long(ea, eb)"))
+      .join(norms.as("na"), col("vec_a") === col("na.vec_id"))
+      .join(norms.as("nb"), col("vec_b") === col("nb.vec_id"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= C_THRESHOLD)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   val embedding: GQuery = GQuery(
     "dedup_embedding",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val q = Tables.embeddings(s, dir).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("e"))
-      val norms = q.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
-      def bit(d: Int): Column = when(element_at(col("e"), d) >= 0, 1).otherwise(0)
-      val bands = q.select(col("vec_id"), posexplode(array(
-        (0 until 4).map(b => bit(4 * b + 1) * 8 + bit(4 * b + 2) * 4 + bit(4 * b + 3) * 2 + bit(4 * b + 4)): _*))
-        .as(Seq("band", "bkey")))
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
-      val cos = round(col("dot").cast("double") /
-        (sqrt(col("na.nn").cast("double")) * sqrt(col("nb.nn").cast("double"))), 6)
-      cand
-        .join(q.select(col("vec_id"), col("e").as("ea")), col("vec_a") === col("vec_id")).drop("vec_id")
-        .join(q.select(col("vec_id"), col("e").as("eb")), col("vec_b") === col("vec_id")).drop("vec_id")
-        .withColumn("dot", expr("dot_long(ea, eb)"))
-        .join(norms.as("na"), col("vec_a") === col("na.vec_id"))
-        .join(norms.as("nb"), col("vec_b") === col("nb.vec_id"))
-        .withColumn("cosine", cos)
-        .filter(col("cosine") >= C_THRESHOLD)
-        .select(col("vec_a"), col("vec_b"), col("cosine"))
-    },
+    (s, dir) => embeddingPairs(s, dir),
     Some(s"""
       WITH qv AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
-      bands AS (SELECT vec_id, b AS band,
-                       (CASE WHEN e[b*4+1] >= 0 THEN 8 ELSE 0 END) +
-                       (CASE WHEN e[b*4+2] >= 0 THEN 4 ELSE 0 END) +
-                       (CASE WHEN e[b*4+3] >= 0 THEN 2 ELSE 0 END) +
-                       (CASE WHEN e[b*4+4] >= 0 THEN 1 ELSE 0 END) AS bkey
-                FROM qv, range(4) t(b)),
+      bits AS (SELECT vec_id, j,
+                      CASE WHEN sum(e[d + 1] *
+                             (CASE WHEN substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 1) < '8'
+                                   THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END AS bit
+               FROM qv, range(${EMB_BANDS * EMB_BITS}) s(j), range(64) t(d)
+               GROUP BY vec_id, j),
+      codes AS (SELECT vec_id,
+                       CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+                FROM bits GROUP BY 1),
+      bands AS (SELECT vec_id, b AS band, (code >> ($EMB_BITS * b)) & ${(1 << EMB_BITS) - 1} AS bkey
+                FROM codes, range($EMB_BANDS) r(b)),
       cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                FROM bands x JOIN bands y
                  ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),

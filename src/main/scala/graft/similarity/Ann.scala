@@ -75,15 +75,29 @@ object Ann {
 
   // ------------------------------------------------ hyperplane LSH
 
-  private val HP = 32 // random hyperplanes → 8 bands × 4 bits
+  private val HP = 32 // default: 8 bands × 4 bits (the oracle-pinned width)
 
-  /** Random-hyperplane signs per vector → 32-bit code → 8 bands of 4
-    * bits (8 bands lift recall at this corpus's moderate-cosine
-    * neighbours while random pairs still block out). Hyperplane
-    * weights are ±1 derived from md5(j⧺'_'⧺d) — deterministic, no RNG
-    * state to ship. Returns (vec_id, band, bkey). */
-  private[graft] def signBands(vecs: DataFrame, spark: SparkSession): DataFrame = {
-    val hp = spark.range(HP * 64L)
+  /** Random-hyperplane signs per vector → (nBands·bitsPerBand)-bit
+    * code → `nBands` bands of `bitsPerBand` bits. Hyperplane weights
+    * are ±1 derived from md5(j⧺'_'⧺d) — deterministic, no RNG state
+    * to ship. Returns (vec_id, band, bkey).
+    *
+    * `bitsPerBand` is THE scale knob for every sign-LSH blocking
+    * consumer (this file's [[lshTopk]] and
+    * [[graft.dedup.Dedup.embeddingPairs]]): buckets per band =
+    * 2^bitsPerBand, so expected candidate volume falls geometrically
+    * with width while per-pair recall falls only polynomially
+    * (P[band match] = p^bits, p = 1 − θ/π per plane). Size it as
+    * bitsPerBand ≈ log₂(N / target_bucket_size): 4 bits suits this
+    * corpus's ~10³ vectors and moderate-cosine neighbours; a web-scale
+    * corpus at a ≥0.9 threshold (p ≥ 0.86 per plane) runs 8–16 bits
+    * with MORE bands to hold recall. The md5-uniform buckets keep the
+    * candidate equi-join skew-free at any width. */
+  private[graft] def signBands(vecs: DataFrame, spark: SparkSession,
+      nBands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    require(bitsPerBand > 0 && bitsPerBand <= 62, s"band key must fit a long: $bitsPerBand bits")
+    val nHp = nBands * bitsPerBand
+    val hp = spark.range(nHp * 64L)
       .select((col("id") / lit(64)).cast("long").as("j"), pmod(col("id"), lit(64)).as("d"))
       .withColumn("w", when(substring(md5(concat_ws("_", col("j"), col("d"))), 1, 1) < "8", 1L).otherwise(-1L))
     val bits = vecs
@@ -91,10 +105,15 @@ object Ann {
       .join(broadcast(hp), Seq("d"))
       .groupBy(col("vec_id"), col("j"))
       .agg((sum(col("v") * col("w")) >= 0).as("bit"))
-    bits.groupBy(col("vec_id"))
-      .agg(sum(when(col("bit"), expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("code"))
-      .select(col("vec_id"), posexplode(array((0 until HP / 4).map(b =>
-        shiftright(col("code"), 4 * b).bitwiseAND(lit(0xfL))): _*)).as(Seq("band", "bkey")))
+    // hyperplane j belongs to band j/bits at bit position j%bits; the
+    // keys are aggregated per band directly (no monolithic code long),
+    // so total width nBands·bitsPerBand is unbounded
+    bits
+      .groupBy(col("vec_id"), (col("j") / bitsPerBand).cast("int").as("band"))
+      .agg(sum(when(col("bit"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(j, $bitsPerBand) AS INT))")).otherwise(0L))
+        .as("bkey"))
+      .select(col("vec_id"), col("band"), col("bkey"))
   }
 
   /** LSH-bucketed ANN — the scale path when both the query set and
@@ -143,11 +162,15 @@ object Ann {
       WHERE rnk <= $K"""),
     tags = Set("ann"))
 
-  private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession): DataFrame = {
+  /** `bitsPerBand` widens the [[signBands]] buckets (default 4 = the
+    * oracle-pinned width); AnnSpec measures the superlinear candidate
+    * shrink at width 8 on the same corpus. */
+  private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession,
+      bitsPerBand: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val vecs = emb.select(col("vec_id"), quant.as("e"))
     val norms = vecs.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
-    val bands = signBands(vecs, s)
+    val bands = signBands(vecs, s, HP / 4, bitsPerBand)
     val qb = bands.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
     val cand = qb.join(bands, Seq("band", "bkey"))

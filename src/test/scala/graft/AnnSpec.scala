@@ -34,6 +34,28 @@ class AnnSpec extends SparkSpecBase {
     assert(ivf5 >= 0.5, s"IVF recall@5 $ivf5")
   }
 
+  test("lsh band width shrinks the candidate set superlinearly") {
+    // doubling bitsPerBand squares the per-band bucket count (16 →
+    // 256), so per-query candidates must fall by much more than 2× —
+    // the knob that keeps LSH meaningfully cheaper than brute force
+    // as the corpus grows (at 4 bits candidates ≈ bands·N/16 ≈ N/2,
+    // only a 2× saving)
+    val vecs = graft.sources.Tables.embeddings(spark, TestSession.sfDir01)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("e"))
+    def candidates(bits: Int): Long = {
+      val bands = graft.similarity.Ann.signBands(vecs, spark, nBands = 8, bitsPerBand = bits)
+      val qb = bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+      qb.join(bands, Seq("band", "bkey"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id")).distinct().count()
+    }
+    val c4 = candidates(4)
+    val c8 = candidates(8)
+    assert(c8 * 2 < c4, s"candidates fell sublinearly: 4 bits -> $c4, 8 bits -> $c8")
+  }
+
   test("IVF corpus assignment is an aggregate, not a window") {
     val plan = SparkEntry.queries("ann_ivf_topk")(spark, TestSession.sfDir01)
       .queryExecution.optimizedPlan.toString

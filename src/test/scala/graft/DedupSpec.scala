@@ -79,6 +79,31 @@ class DedupSpec extends SparkSpecBase {
     assert(cand.contains((2001L, 2002L)), s"planted pair missing from ${cand.size} candidates")
   }
 
+  test("embedding sign-band width is the bucket-size knob on a clustered corpus") {
+    // 20 clusters × 50 members: cluster base values dominate (±10⁵)
+    // and member jitter sits 4 orders of magnitude below (±10), so a
+    // cluster shares its hyperplane sign pattern. At 4 bits
+    // (16 buckets/band) the pigeonhole packs ≥2 clusters into some
+    // bucket of every band; at 8 bits (256 buckets) clusters separate
+    // — WIDTH, not capping, bounds the all-to-all inside these
+    // structural buckets (capping them would gut recall).
+    val corpus = TestSession.spark.range(20L * 50L)
+      .select(col("id").as("vec_id"), (col("id") % 20).as("c"))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), d ->
+           (pmod(xxhash64('c', c * 64 + CAST(d AS BIGINT)), 2001) - 1000) * 100 +
+           pmod(xxhash64('j', vec_id * 64 + CAST(d AS BIGINT)), 21) - 10)""").as("e"))
+    def maxBucket(bits: Int): Long =
+      graft.similarity.Ann.signBands(corpus, spark, nBands = 4, bitsPerBand = bits)
+        .groupBy(col("band"), col("bkey")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val m4 = maxBucket(4)
+    val m8 = maxBucket(8)
+    assert(m4 > m8, s"max bucket did not fall with width: 4 bits -> $m4, 8 bits -> $m8")
+    // at 8 bits no bucket should hold more than a couple of clusters
+    assert(m8 <= 150, s"8-bit max bucket $m8 — clusters failed to separate")
+  }
+
   test("minhash LSH finds all near-dups found by the uncapped full-space baseline at sf0.01") {
     // the baseline must score the SAME (full) shingle space minhash
     // verifies against — dedup_ngram_jaccard scores the df-capped
