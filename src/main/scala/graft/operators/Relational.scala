@@ -324,17 +324,6 @@ object Relational {
       FROM events GROUP BY event_type"""),
     tags = Set("relational"))
 
-  /** GK-sketch quantile: approx_percentile per group, emitted as a
-    * RANK-ERROR contract the oracle can check exactly (the same
-    * pattern as op_approx_distinct — sketch values aren't portable,
-    * their guarantees are). The GK guarantee bounds rank error at
-    * 1/accuracy = 1% regardless of partial-merge order, so the
-    * estimated median's exact TIE RANGE [count(<v), count(≤v)] over
-    * non-null values must straddle 50%±5% — computed by joining the
-    * estimate back and counting strictly-below and at-or-below.
-    * The sketch itself is mergeable partial+final with
-    * O(accuracy·log N) state; the exact-rank recount is the
-    * verification harness, not the production shape. */
   /** Tie-aware, null-aware rank contract over grouped rows carrying
     * `value` and the group's `ap50` estimate: the estimate's TIE
     * RANGE [count(<v), count(≤v)] must straddle the 50%±5% band over
@@ -351,6 +340,17 @@ object Relational {
         (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).cast("double") /
           count(col("value")) >= 0.45))
 
+  /** GK-sketch quantile: approx_percentile per group, emitted as a
+    * RANK-ERROR contract the oracle can check exactly (the same
+    * pattern as op_approx_distinct — sketch values aren't portable,
+    * their guarantees are). The GK guarantee bounds rank error at
+    * 1/accuracy = 1% regardless of partial-merge order, so the
+    * estimated median's exact TIE RANGE [count(<v), count(≤v)] over
+    * non-null values must straddle 50%±5% — computed by joining the
+    * estimate back and counting strictly-below and at-or-below via
+    * [[medianRankOk]]. The sketch itself is mergeable partial+final
+    * with O(accuracy·log N) state; the exact-rank recount is the
+    * verification harness, not the production shape. */
   val approxQuantile: GQuery = GQuery(
     "op_approx_quantile",
     (s, dir) => {

@@ -281,19 +281,46 @@ object TpchGen {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "supplier", "customer", "part", "partsupp", "orders", "lineitem")
 
+  /** Generator dispatch by table name — the single construction point
+    * shared by [[registerAll]], [[persistAll]] and the `tpch`
+    * DataSource (`spark.read.format("tpch")`), so every surface emits
+    * the identical deterministic plan. */
+  def table(spark: SparkSession, name: String, sf: Double,
+      numParts: Int = 0, part: Int = -1): DataFrame = name match {
+    case "region"   => region(spark)
+    case "nation"   => nation(spark)
+    case "supplier" => supplier(spark, sf, numParts, part)
+    case "customer" => customer(spark, sf, numParts, part)
+    case "part"     => this.part(spark, sf, numParts, part)
+    case "partsupp" => partsupp(spark, sf, numParts, part)
+    case "orders"   => orders(spark, sf, numParts, part)
+    case "lineitem" => lineitem(spark, sf, numParts, part)
+    case other => throw new IllegalArgumentException(
+      s"unknown tpch table '$other' (expected one of ${tableNames.mkString(", ")})")
+  }
+
   /** Register all 8 generated tables as temp views — ≙ the
     * reference's `tpch(sf)` UDTF (src/lib.rs:217-270). Overwrites any
     * same-named views (e.g. testdata ones from Tables.registerAll). */
-  def registerAll(spark: SparkSession, sf: Double, numParts: Int = 0): Unit = {
-    region(spark).createOrReplaceTempView("region")
-    nation(spark).createOrReplaceTempView("nation")
-    supplier(spark, sf, numParts).createOrReplaceTempView("supplier")
-    customer(spark, sf, numParts).createOrReplaceTempView("customer")
-    part(spark, sf, numParts).createOrReplaceTempView("part")
-    partsupp(spark, sf, numParts).createOrReplaceTempView("partsupp")
-    orders(spark, sf, numParts).createOrReplaceTempView("orders")
-    lineitem(spark, sf, numParts).createOrReplaceTempView("lineitem")
-  }
+  def registerAll(spark: SparkSession, sf: Double, numParts: Int = 0): Unit =
+    tableNames.foreach(n => table(spark, n, sf, numParts).createOrReplaceTempView(n))
+
+  /** One-call generate-and-persist — ≙ the reference's COPY-to-parquet
+    * demo (`examples/parquet.rs:1-34`) and the documented `tpch(sf,
+    * path)` surface (src/lib.rs:277-279). Writes each table as parquet
+    * at `dir/<table>.parquet`, the SAME layout the testdata dirs use,
+    * so the output directory is a drop-in source for every
+    * [[graft.sources.Tables]] accessor and registry query (GenSqlSpec
+    * pins the persist→read-back→q1 round trip). Delegates to
+    * [[graft.sources.Sinks.writeParquet]] — no coalesce, so file
+    * count follows generator task count: an sf100k backfill on 1000
+    * executors writes 1000-way parallel, and any shard can be
+    * re-persisted alone via `table(..., numParts, part)`. */
+  def persistAll(spark: SparkSession, sf: Double, dir: String,
+      numParts: Int = 0, mode: String = "overwrite"): Unit =
+    tableNames.foreach { n =>
+      graft.sources.Sinks.writeParquet(table(spark, n, sf, numParts), s"$dir/$n.parquet", mode = mode)
+    }
 
   /** One-call SQL surface ≙ the reference's "register then query from
     * SQL" demo (src/lib.rs:272-316): registers the 8 generated views

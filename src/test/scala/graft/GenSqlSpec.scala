@@ -52,6 +52,28 @@ class GenSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("persistAll round trip: write parquet, read back via Tables, run q1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
+    try {
+      TpchGen.persistAll(spark, SF, dir)
+      // the persisted layout is a drop-in testdata dir: the Tables
+      // accessors and any registry query run against it unchanged
+      assert(graft.sources.Tables.lineitem(spark, dir).count() == expectedLines)
+      assert(graft.sources.Tables.orders(spark, dir).count() == expectedOrders)
+      assert(graft.sources.Tables.part(spark, dir).count() == (200000 * SF).toLong)
+      // parquet round trip is value-exact: read-back lineitem must be
+      // row-identical to the generator plan (doubles/dates binary-stable)
+      val diff = graft.sources.Tables.lineitem(spark, dir)
+        .except(TpchGen.lineitem(spark, SF)).count()
+      assert(diff == 0, s"$diff read-back rows differ from the generator")
+      val q1 = Registry.byName("q1_pricing_summary").build(spark, dir).collect()
+      assert(q1.length == 6, s"expected 6 pricing-summary groups, got ${q1.length}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("registered view row counts follow the sf scaling and sparse-key layout") {
     TpchGen.registerAll(spark, SF)
     try {
