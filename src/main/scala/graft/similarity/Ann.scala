@@ -164,13 +164,25 @@ object Ann {
 
   /** `bitsPerBand` widens the [[signBands]] buckets (default 4 = the
     * oracle-pinned width); AnnSpec measures the superlinear candidate
-    * shrink at width 8 on the same corpus. */
+    * shrink at width 8 on the same corpus.
+    *
+    * The band frame feeds BOTH sides of the candidate equi-join
+    * (query side filtered, corpus side whole), so it is `persist`ed:
+    * without it Spark re-evaluates the explode-×64 → broadcast-join →
+    * two-aggregation pipeline once per side (exchange reuse only
+    * fires when both shuffles canonicalize identically, which the
+    * asymmetric filter above the query side does not guarantee). The
+    * cached frame is N·nBands rows of three longs — a ~200 GB
+    * MEMORY_AND_DISK footprint even at 10⁹ vectors, vs recomputing a
+    * 64×-exploded intermediate. ExplainSpec pins the two
+    * InMemoryTableScans; the CacheManager dedupes by canonical plan,
+    * so repeated builds of the same query reuse one entry. */
   private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession,
       bitsPerBand: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val vecs = emb.select(col("vec_id"), quant.as("e"))
     val norms = vecs.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
-    val bands = signBands(vecs, s, HP / 4, bitsPerBand)
+    val bands = signBands(vecs, s, HP / 4, bitsPerBand).persist()
     val qb = bands.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
     val cand = qb.join(bands, Seq("band", "bkey"))

@@ -34,6 +34,21 @@ class ExplainSpec extends SparkSpecBase {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  private def inMemoryScans(p: String): Int =
+    "InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size
+
+  test("ann_lsh_topk: both candidate-join sides read the persisted band frame") {
+    val p = plan("ann_lsh_topk")
+    assert(inMemoryScans(p) >= 2,
+      s"expected >=2 cached band scans (signBands must compute once), got ${inMemoryScans(p)}\n${p.take(2000)}")
+  }
+
+  test("dedup_embedding: the band self-join reads the persisted band frame twice") {
+    val p = plan("dedup_embedding")
+    assert(inMemoryScans(p) >= 2,
+      s"expected >=2 cached band scans (signBands must compute once), got ${inMemoryScans(p)}\n${p.take(2000)}")
+  }
+
   test("pipeline_curate: exact dedup is one min_by aggregate, no dedup self-join") {
     val p = SparkEntry.queries("pipeline_curate")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
