@@ -10,7 +10,15 @@ import org.apache.spark.sql.SparkSession
   * shared machine), each run executing the FULL plan via a noop-format
   * write (`count()` would let Catalyst drop final projects/sorts).
   * Failures report -1 for that query and are listed in `failed`
-  * without polluting the total. */
+  * without polluting the total.
+  *
+  * Spread (per round-5 verdict): the full [min, med, max] per key goes
+  * to STDERR (`spread` line); the stdout line stays under the driver's
+  * 2000-char tail window for all ~69 keys (3-decimal mins) and carries
+  * a `noisy` map — the ≤5 worst keys by max/min ratio (>1.5× and
+  * >0.2 s absolute) with their [min, med, max] — so a one-off slow run
+  * is visibly machine noise in the archived JSON, not a regression
+  * debate next round. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,22 +45,41 @@ object Bench {
     runOnce("q6_forecast_revenue")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+    // sorted run times per key (empty = every run failed)
+    val results: Seq[(String, Either[String, Seq[Double]])] = names.map { name =>
       val runs = (1 to n).map(_ => runOnce(name))
-      val ok = runs.collect { case Right(t) => t }
-      name -> (if (ok.nonEmpty) Right(ok.min)
+      val ok = runs.collect { case Right(t) => t }.sorted
+      name -> (if (ok.nonEmpty) Right(ok)
                else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
     val failed = results.collect { case (k, Left(msg)) =>
       System.err.println(s"[bench] $k FAILED: $msg"); k
     }
+    def f3(d: Double): String = f"$d%.3f"
+    def triple(ts: Seq[Double]): String =
+      s"[${f3(ts.head)},${f3(ts(ts.size / 2))},${f3(ts.last)}]"
     val qs = results.map {
-      case (k, Right(t)) => s""""$k":$t"""
+      case (k, Right(ts)) => s""""$k":${f3(ts.head)}"""
       case (k, Left(_)) => s""""$k":-1"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(t)) => t }.sum
+    val total = results.collect { case (_, Right(ts)) => ts.head }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"failed":$failedJson}""")
+    // worst spreads: ratio gate for "is it noise?", absolute gate so
+    // sub-second keys can't flood the map; capped to 5 for the budget
+    val noisyAll = results.collect {
+      case (k, Right(ts)) if ts.last / ts.head > 1.5 && ts.last - ts.head > 0.2 =>
+        (k, ts, ts.last / ts.head)
+    }.sortBy(-_._3)
+    val noisy = noisyAll.take(5).map { case (k, ts, _) => s""""$k":${triple(ts)}""" }
+      .mkString("{", ",", "}")
+    // full spread detail (stderr: not size-limited, not driver-archived)
+    System.err.println(results.collect { case (k, Right(ts)) => s""""$k":${triple(ts)}""" }
+      .mkString("{\"spread\":{", ",", "}}"))
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","n":$n,"failed":$failedJson,"noisy":$noisy,"noisy_dropped":${noisyAll.size - noisyAll.take(5).size}}"""
+    if (line.length > 1990)
+      System.err.println(s"[bench] WARNING stdout line ${line.length} chars exceeds driver tail window")
+    println(line)
     spark.stop()
   }
 }
