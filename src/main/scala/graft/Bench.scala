@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * (JVM/codegen init otherwise lands on whichever query runs first),
   * then N runs per query (min reported — least-noise estimator on a
   * shared machine), each run executing the FULL plan via a noop-format
-  * write (`count()` would let Catalyst drop final projects/sorts).
+  * write (`count()` would let Catalyst drop final projects/sorts) and
+  * starting COLD — tracked persists are released and the SQL cache
+  * cleared before each clock start, so the min is a full execution,
+  * never a warm-cache read (round-6 advice).
   * Failures report -1 for that query and are listed in `failed`
   * without polluting the total.
   *
@@ -35,6 +38,16 @@ object Bench {
 
     def runOnce(name: String): Either[String, Double] =
       try {
+        // cold-run discipline (round-6 advice): builder-internal
+        // persists (sign-LSH band frames) survive across runs via the
+        // CacheManager, so without this runs 2..n of ann_lsh_topk /
+        // dedup_embedding would read the materialised cache and skip
+        // the band pipeline entirely — the reported min would be
+        // warm-cache, not a full execution. Release tracked frames
+        // and clear the cache BEFORE the clock starts: every run
+        // pays the whole plan, min stays an honest cold estimator.
+        Caches.release()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -440,10 +440,12 @@ object Dedup {
     val q = Tables.embeddings(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("e"))
     val norms = q.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
-    // persisted: the x/y self-join below reads the band frame twice,
-    // and nothing guarantees ReusedExchange across the two sides (see
-    // Ann.lshTopkFrom — same reasoning, ExplainSpec pins both plans)
-    val bands = graft.similarity.Ann.signBands(q, s, EMB_BANDS, bitsPerBand).persist()
+    // persisted (tracked in graft.Caches — release() after the
+    // terminal action): the x/y self-join below reads the band frame
+    // twice, and nothing guarantees ReusedExchange across the two
+    // sides (see Ann.lshTopkFrom — same reasoning, ExplainSpec pins
+    // both plans)
+    val bands = graft.Caches.persistTracked(graft.similarity.Ann.signBands(q, s, EMB_BANDS, bitsPerBand))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -176,13 +176,16 @@ object Ann {
     * MEMORY_AND_DISK footprint even at 10⁹ vectors, vs recomputing a
     * 64×-exploded intermediate. ExplainSpec pins the two
     * InMemoryTableScans; the CacheManager dedupes by canonical plan,
-    * so repeated builds of the same query reuse one entry. */
+    * so repeated builds of the same query reuse one entry. The persist
+    * is tracked in [[graft.Caches]] — callers release it with
+    * `Caches.release()` after their terminal action (Verify/Bench do;
+    * a long-lived session otherwise accumulates band caches). */
   private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession,
       bitsPerBand: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val vecs = emb.select(col("vec_id"), quant.as("e"))
     val norms = vecs.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
-    val bands = signBands(vecs, s, HP / 4, bitsPerBand).persist()
+    val bands = graft.Caches.persistTracked(signBands(vecs, s, HP / 4, bitsPerBand))
     val qb = bands.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
     val cand = qb.join(bands, Seq("band", "bkey"))

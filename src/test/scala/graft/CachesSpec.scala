@@ -1,0 +1,31 @@
+package graft
+
+/** Lifecycle of builder-internal persists (round-6 advice): the
+  * sign-LSH band frame cached inside `dedup_embedding` /
+  * `ann_lsh_topk` must be releasable by the caller — otherwise a
+  * long-lived session accumulates cache entries per invocation, and
+  * Bench's runs 2..n would read warm cache instead of executing. */
+class CachesSpec extends SparkSpecBase {
+
+  test("band persists are tracked and released exactly once") {
+    Caches.release() // drain anything left behind by earlier suites
+    SparkEntry.queries("dedup_embedding")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val released = Caches.release()
+    assert(released >= 1, s"expected >=1 tracked band frame, released $released")
+    assert(Caches.release() == 0, "second release must find nothing to unpersist")
+  }
+
+  test("after release the SQL cache holds no band frames") {
+    Caches.release()
+    SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    assert(Caches.release() >= 1)
+    // a fresh build after release must be un-cached until executed
+    // again: its plan may still SHOW InMemoryRelation only if the
+    // CacheManager kept an entry — clearCache guarantees none remain,
+    // and release() must have already emptied the tracked queue
+    spark.catalog.clearCache()
+    assert(Caches.release() == 0)
+  }
+}
