@@ -281,14 +281,28 @@ object TpchGen {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "supplier", "customer", "part", "partsupp", "orders", "lineitem")
 
+  /** Sharded dispatch for the fixed-size tables: region/nation take
+    * no sf and no shard split, but a sharded backfill (`part` per
+    * task, outputs appended) must still see each of their rows exactly
+    * once across shards — so shard 0 carries the whole table and every
+    * other shard is empty. Same validation as [[ids]] so a bad shard
+    * spec fails identically for all 8 tables. */
+  private def fixedShard(full: DataFrame, numParts: Int, part: Int): DataFrame =
+    if (part < 0) full
+    else {
+      require(numParts > 0, "part requires an explicit numParts")
+      require(part < numParts, s"part $part out of $numParts")
+      if (part == 0) full else full.limit(0)
+    }
+
   /** Generator dispatch by table name — the single construction point
     * shared by [[registerAll]], [[persistAll]] and the `tpch`
     * DataSource (`spark.read.format("tpch")`), so every surface emits
     * the identical deterministic plan. */
   def table(spark: SparkSession, name: String, sf: Double,
       numParts: Int = 0, part: Int = -1): DataFrame = name match {
-    case "region"   => region(spark)
-    case "nation"   => nation(spark)
+    case "region"   => fixedShard(region(spark), numParts, part)
+    case "nation"   => fixedShard(nation(spark), numParts, part)
     case "supplier" => supplier(spark, sf, numParts, part)
     case "customer" => customer(spark, sf, numParts, part)
     case "part"     => this.part(spark, sf, numParts, part)

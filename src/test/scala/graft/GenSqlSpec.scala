@@ -62,9 +62,12 @@ class GenSqlSpec extends SparkSpecBase {
       assert(graft.sources.Tables.orders(spark, dir).count() == expectedOrders)
       assert(graft.sources.Tables.part(spark, dir).count() == (200000 * SF).toLong)
       // parquet round trip is value-exact: read-back lineitem must be
-      // row-identical to the generator plan (doubles/dates binary-stable)
-      val diff = graft.sources.Tables.lineitem(spark, dir)
-        .except(TpchGen.lineitem(spark, SF)).count()
+      // MULTISET-identical to the generator plan (doubles/dates
+      // binary-stable) — exceptAll in both directions, so duplicate-
+      // row multiplicity differences fail too, not just missing rows
+      val back = graft.sources.Tables.lineitem(spark, dir)
+      val gen = TpchGen.lineitem(spark, SF)
+      val diff = back.exceptAll(gen).count() + gen.exceptAll(back).count()
       assert(diff == 0, s"$diff read-back rows differ from the generator")
       val q1 = Registry.byName("q1_pricing_summary").build(spark, dir).collect()
       assert(q1.length == 6, s"expected 6 pricing-summary groups, got ${q1.length}")

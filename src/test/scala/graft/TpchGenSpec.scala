@@ -32,6 +32,20 @@ class TpchGenSpec extends SparkSpecBase {
     assert(full.toSeq == sliced.toSeq)
   }
 
+  test("sharded table() emits region/nation exactly once across shards") {
+    // a sharded backfill appends table(name, sf, numParts, p) for every
+    // p — the fixed tables must land wholly in shard 0, never per-shard
+    for (t <- Seq("region", "nation")) {
+      val perShard = (0 until 3).map(p =>
+        TpchGen.table(spark, t, 0.001, numParts = 3, part = p).count())
+      val expected = if (t == "region") 5L else 25L
+      assert(perShard == Seq(expected, 0L, 0L), s"$t shards: $perShard")
+    }
+    // same shard-spec validation as the scaled tables
+    intercept[IllegalArgumentException](TpchGen.table(spark, "region", 0.001, part = 0))
+    intercept[IllegalArgumentException](TpchGen.table(spark, "nation", 0.001, numParts = 2, part = 2))
+  }
+
   test("partsupp: exactly 4 distinct suppliers per part at any scale, FKs resolve") {
     for (sf <- Seq(0.001, 0.01)) {
       val ps = TpchGen.partsupp(spark, sf)
