@@ -489,5 +489,38 @@ object TpchGen {
              CAST(0 AS BIGINT) AS bad_totalprice, CAST(0 AS BIGINT) AS bad_status"""),
     tags = Set("gen"))
 
-  def all: Seq[GQuery] = Seq(genRowcounts, genLineitemProfile, genPartsuppJoin, genOrdersConsistency)
+  /** The `tpch` data-source format ([[graft.sources.TpchDataSource]])
+    * proven through the correctness gate: all 8 tables read via
+    * `spark.read.format("tpch")` at the dir's sf — their total row
+    * count replays the spec layout, and the format's orders scan is
+    * multiset-identical to the direct generator plan (exceptAll drift
+    * in both directions, oracled to literal 0). */
+  val genSourceFormat: GQuery = GQuery(
+    "gen_source_format",
+    (s, dir) => {
+      val sf = sfFromDir(dir)
+      def read(t: String): DataFrame =
+        s.read.format("tpch").option("sf", sf).option("table", t).load()
+      val totals = tableNames.map(t => read(t).agg(count(lit(1)).as("c")))
+        .reduce(_ unionByName _).agg(sum(col("c")).as("total_rows"))
+      val direct = orders(s, sf)
+      val viaFormat = read("orders")
+      val drift = viaFormat.exceptAll(direct).unionByName(direct.exceptAll(viaFormat))
+        .agg(count(lit(1)).as("orders_scan_drift"))
+      totals.crossJoin(drift)
+    },
+    Some("""
+      SELECT CAST(30
+           + (SELECT count(*) FROM supplier)
+           + (SELECT count(*) FROM customer)
+           + 5 * (SELECT count(*) FROM part)
+           + (SELECT count(*) FROM orders)
+           + (SELECT CAST(sum(1 + ((((i // 8) * 32) + (i % 8) + 1) % 7)) AS BIGINT)
+              FROM (SELECT row_number() OVER () - 1 AS i FROM orders) t)
+           AS BIGINT) AS total_rows,
+             CAST(0 AS BIGINT) AS orders_scan_drift"""),
+    tags = Set("gen"))
+
+  def all: Seq[GQuery] = Seq(genRowcounts, genLineitemProfile, genPartsuppJoin,
+    genOrdersConsistency, genSourceFormat)
 }

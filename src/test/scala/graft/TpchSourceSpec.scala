@@ -1,0 +1,64 @@
+package graft
+
+import graft.tpch.TpchGen
+
+/** The `tpch` format closes the reference's inline-parameterized
+  * generation gap (`SELECT * FROM tpch_lineitem(1)`,
+  * clflushopt/datafusion-tpch src/lib.rs:69-106): sf and table ride
+  * the read options — or the SQL text itself via `USING tpch` — with
+  * zero testdata dependence. The scan delegates to TpchGen.table, so
+  * these tests pin that the format's output IS the generator's. */
+class TpchSourceSpec extends SparkSpecBase {
+
+  private val SF = 0.02
+
+  private def viaFormat(table: String) =
+    spark.read.format("tpch").option("sf", SF).option("table", table).load()
+
+  test("every generated table reads via format(\"tpch\") with generator-exact counts") {
+    for (t <- TpchGen.tableNames)
+      assert(viaFormat(t).count() == TpchGen.table(spark, t, SF).count(), s"table $t")
+  }
+
+  test("format output is multiset-identical to the TpchGen plan") {
+    val viaSource = viaFormat("orders")
+    val direct = TpchGen.table(spark, "orders", SF)
+    assert(viaSource.schema == direct.schema)
+    val diff = viaSource.exceptAll(direct).count() + direct.exceptAll(viaSource).count()
+    assert(diff == 0, s"$diff rows differ between format scan and generator plan")
+  }
+
+  test("load path names the table; shard options slice it") {
+    assert(spark.read.format("tpch").option("sf", SF).load("nation").count() == 25)
+    val sharded = (0 until 3).map(p =>
+      spark.read.format("tpch").option("sf", SF).option("table", "customer")
+        .option("numParts", 3).option("part", p).load())
+    assert(sharded.map(_.count()).sum == TpchGen.customer(spark, SF).count())
+    // fixed tables follow shard-0-only semantics through the format too
+    assert(spark.read.format("tpch").option("sf", SF).option("table", "region")
+      .option("numParts", 3).option("part", 1).load().count() == 0)
+  }
+
+  test("generation is parameterized fully inside SQL via USING tpch") {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tpch_src_lineitem " +
+      s"USING tpch OPTIONS (table 'lineitem', sf '$SF')")
+    try {
+      val r = spark.sql("""
+        SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        FROM tpch_src_lineitem GROUP BY l_returnflag""").collect()
+      assert(r.map(_.getString(0)).toSet == Set("A", "N", "R"))
+      assert(r.map(_.getLong(1)).sum == TpchGen.lineitem(spark, SF).count())
+    } finally spark.catalog.dropTempView("tpch_src_lineitem")
+  }
+
+  test("bad options fail at resolution with actionable messages") {
+    def msgOf(f: => Any): String =
+      intercept[Exception](f).getMessage
+    assert(msgOf(spark.read.format("tpch").option("sf", SF).option("table", "linitem").load())
+      .contains("unknown tpch table"))
+    assert(msgOf(spark.read.format("tpch").option("table", "orders").load())
+      .contains("'sf'"))
+    assert(msgOf(spark.read.format("tpch").option("sf", "fast").option("table", "orders").load())
+      .contains("must be numeric"))
+  }
+}
