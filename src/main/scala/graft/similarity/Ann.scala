@@ -209,6 +209,103 @@ object Ann {
   private val IVF_C = 16      // coarse centroids
   private val IVF_NPROBE = 4  // probed lists per query
 
+  // ------------------------- IVF internals, shared by the oracle key
+  // ------------------------- and the balance-guarded production build
+
+  /** Deterministic seeding: the `c` corpus vectors with smallest
+    * md5(vec_id) become centroids. */
+  private[graft] def ivfSeeds(vecs: DataFrame, c: Int = IVF_C): DataFrame =
+    vecs.withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(c)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+
+  private[graft] def ivfWithCos(side: DataFrame, cents: DataFrame): DataFrame =
+    side.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(expr("dot_long(e, ce)"),
+        expr("dot_long(e, e)"), expr("dot_long(ce, ce)")))
+
+  /** Nearest centroid per vector: aggregate, not window — max_by over
+    * (c_cos, -c_id) == rank-1 of (c_cos DESC, c_id ASC), but combines
+    * map-side instead of shuffling and sorting all N×C rows. */
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    ivfWithCos(vecs, cents)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid"))).as("c_id"))
+
+  /** One Lloyd step: element-wise floor-mean of each centroid's
+    * members (integer-exact, so the oracle can replay it). A centroid
+    * whose list went empty drops out. */
+  private[graft] def ivfLloydStep(vecs: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(vecs, cents)
+      .join(vecs, Seq("vec_id"))
+      .select(col("c_id"), posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy(col("c_id"), col("d"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("c_id"), struct(col("d"), floor(col("sv") / col("cnt")).as("m")).as("dm"))
+      .groupBy(col("c_id"))
+      .agg(expr("transform(array_sort(collect_list(dm)), x -> x.m)").as("ce"))
+
+  private[graft] case class IvfIndex(cents: DataFrame, assign: DataFrame,
+      maxList: Long, lloydSteps: Int, split: Boolean)
+
+  /** Balance-guarded IVF index build — the production path for the
+    * p99 risk a fixed one-step build leaves open: a degenerate
+    * inverted list holding most of the corpus, which every query
+    * probing it must scan. Two mechanisms, in order:
+    *
+    *  1. extra Lloyd steps while max list > maxListFactor·N/c (fixes
+    *     CLUSTERABLE imbalance — centroids migrate toward density);
+    *  2. deterministic hash-split of still-oversized lists into
+    *     ceil(size/cap) sub-lists keyed by xxhash64(vec_id) (fixes
+    *     what geometry cannot: duplicate/tie mass — 10⁶ copies of one
+    *     embedding are one point, no centroid separates them). A probe
+    *     of a split c_id reads all its sub-lists: the candidate set is
+    *     IDENTICAL, but no single task or list structure exceeds ~cap
+    *     rows.
+    *
+    * The per-step balance check reads a ≤c-row aggregate on the
+    * driver — an inspection of list SIZES, not a data collect; each
+    * step is one extra corpus pass over the persisted (tracked, see
+    * [[graft.Caches]]) vector frame. Not wired into `ann_ivf_topk`:
+    * the guard's step count depends on runtime list sizes, which an
+    * ahead-of-time SQL oracle cannot replay — the oracle key stays
+    * the fixed one-step construction and AnnSpec pins the guard.
+    * Returns the final centroids, the (vec_id, c_id, list_id)
+    * assignment (list_id = struct(c_id, sub); sub is 0 unless split),
+    * the final max list size, steps taken, and whether a split ran. */
+  private[graft] def ivfBalanced(vecsIn: DataFrame, c: Int = IVF_C,
+      maxListFactor: Double = 4.0, maxSteps: Int = 2): IvfIndex = {
+    val vecs = graft.Caches.persistTracked(vecsIn)
+    val n = vecs.count()
+    val cap = math.max(1L, math.ceil(maxListFactor * n / c).toLong)
+    def withList(a: DataFrame): DataFrame =
+      a.withColumn("list_id", struct(col("c_id"), lit(0L).as("sub")))
+    def maxListOf(a: DataFrame): Long =
+      a.groupBy(col("list_id")).count().agg(max(col("count"))).head().getLong(0)
+    var cents = ivfSeeds(vecs, c)
+    var assign = withList(ivfAssign(vecs, cents))
+    var m = maxListOf(assign)
+    var steps = 0
+    while (m > cap && steps < maxSteps) {
+      cents = ivfLloydStep(vecs, cents)
+      assign = withList(ivfAssign(vecs, cents))
+      steps += 1
+      m = maxListOf(assign)
+    }
+    val didSplit = m > cap
+    if (didSplit) {
+      val nsub = assign.groupBy(col("c_id")).agg(count(lit(1)).as("sz"))
+        .select(col("c_id"), ceil(col("sz") / lit(cap)).cast("long").as("nsub"))
+      assign = assign.drop("list_id").join(broadcast(nsub), Seq("c_id"))
+        .withColumn("list_id", struct(col("c_id"),
+          when(col("nsub") <= 1, lit(0L))
+            .otherwise(pmod(xxhash64(col("vec_id")), col("nsub"))).as("sub")))
+        .select(col("vec_id"), col("c_id"), col("list_id"))
+      m = maxListOf(assign)
+    }
+    IvfIndex(cents, assign, m, steps, didSplit)
+  }
+
   /** IVF-Flat ANN — the other standard scale path (complementing
     * [[lshTopk]]): a coarse quantizer of [[IVF_C]] centroids
     * partitions the corpus into inverted lists; a query scores only
@@ -224,38 +321,20 @@ object Ann {
     * the probe side, where NPROBE>1 genuinely needs a ranking over Q×C
     * rows (Q small). All similarity math is quantized-integer → the
     * DuckDB oracle replays seeding, Lloyd, assignment, probing and
-    * scoring exactly. */
+    * scoring exactly. This key is the FIXED one-step construction so
+    * that replay is possible; production index builds go through
+    * [[ivfBalanced]], whose list-balance guard (extra Lloyd steps,
+    * then deterministic hash-split) depends on runtime list sizes an
+    * ahead-of-time oracle cannot see. */
   val ivfTopk: GQuery = GQuery(
     "ann_ivf_topk",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val vecs = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("e"))
-      val seeds = vecs
-        .withColumn("hk", md5(col("vec_id").cast("string")))
-        .orderBy(col("hk"), col("vec_id")).limit(IVF_C)
-        .select(col("vec_id").as("c_id"), col("e").as("ce"))
-      def withCos(side: DataFrame, cents: DataFrame): DataFrame =
-        side.crossJoin(broadcast(cents))
-          .withColumn("c_cos", cosine(expr("dot_long(e, ce)"),
-            expr("dot_long(e, e)"), expr("dot_long(ce, ce)")))
-      // nearest centroid per vector: aggregate, not window — max_by
-      // over (c_cos, -c_id) == rank-1 of (c_cos DESC, c_id ASC)
-      def assignTo(cents: DataFrame): DataFrame =
-        withCos(vecs, cents)
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid"))).as("c_id"))
-      // one Lloyd step: element-wise floor-mean of each seed's members
-      val cents = assignTo(seeds)
-        .join(vecs, Seq("vec_id"))
-        .select(col("c_id"), posexplode(col("e")).as(Seq("d", "v")))
-        .groupBy(col("c_id"), col("d"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .select(col("c_id"), struct(col("d"), floor(col("sv") / col("cnt")).as("m")).as("dm"))
-        .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(dm)), x -> x.m)").as("ce"))
-      val assign = assignTo(cents)
+      val cents = ivfLloydStep(vecs, ivfSeeds(vecs))
+      val assign = ivfAssign(vecs, cents)
       val w0 = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val probes = withCos(
+      val probes = ivfWithCos(
         vecs.filter(col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "query_id"), cents)
         .withColumn("c_rnk", row_number().over(w0))
         .filter(col("c_rnk") <= IVF_NPROBE)

@@ -67,6 +67,56 @@ class AnnSpec extends SparkSpecBase {
     assert(windows == 2, s"expected 2 windows (probe rank + final top-k), got $windows")
   }
 
+  // quantized 64-dim corpus for the balance-guard tests: `dupes`
+  // copies of ONE point (the mass no centroid geometry can separate —
+  // the shape a dedup-bound corpus actually has), rest pseudo-random
+  private def guardCorpus(n: Long, dupes: Long) = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"""CASE WHEN id < $dupes
+               THEN transform(sequence(0, 63), d -> CAST(IF(d = 0, 10000, 0) AS BIGINT))
+               ELSE transform(sequence(0, 63), d -> pmod(xxhash64(id, d), 2000) - 1000)
+               END""").as("e"))
+  }
+
+  test("ivfBalanced splits a duplicate-mass list geometry cannot separate") {
+    try {
+      val idx = similarity.Ann.ivfBalanced(guardCorpus(800, 600), maxSteps = 2)
+      val cap = math.ceil(4.0 * 800 / 16).toLong // = ivfBalanced's default factor
+      // 600 identical vectors tie onto one seed; Lloyd runs its steps
+      // but cannot move a point mass apart — the hash-split must fire
+      // and bound every list near cap (xxhash64-uniform, so allow 1.5×)
+      assert(idx.split, "expected the hash-split fallback to fire")
+      assert(idx.lloydSteps == 2, s"expected the Lloyd loop to run first, took ${idx.lloydSteps}")
+      assert(idx.maxList <= (1.5 * cap).toLong, s"max list ${idx.maxList} vs cap $cap")
+      // split preserves the candidate set: every vector keeps exactly
+      // one list, every list belongs to its parent centroid, and the
+      // oversized parent fans out into >= 2 sub-lists
+      assert(idx.assign.count() == 800 &&
+        idx.assign.select(col("vec_id")).distinct().count() == 800)
+      assert(idx.assign.filter(col("list_id.c_id") =!= col("c_id")).count() == 0)
+      val fanout = idx.assign.groupBy(col("c_id"))
+        .agg(countDistinct(col("list_id")).as("lists"), count(lit(1)).as("sz"))
+      assert(fanout.filter(col("sz") > cap && col("lists") < 2).count() == 0,
+        "an oversized parent list was not fanned out")
+      assert(fanout.filter(col("sz") > cap).count() >= 1,
+        "corpus did not produce the oversized parent the test is about")
+      // deterministic: a rebuild assigns identically
+      val again = similarity.Ann.ivfBalanced(guardCorpus(800, 600), maxSteps = 2).assign
+      assert(idx.assign.exceptAll(again).count() == 0 &&
+        again.exceptAll(idx.assign).count() == 0)
+    } finally Caches.release()
+  }
+
+  test("ivfBalanced leaves an already-balanced corpus untouched") {
+    try {
+      val idx = similarity.Ann.ivfBalanced(guardCorpus(800, 0), maxSteps = 2)
+      val cap = math.ceil(4.0 * 800 / 16).toLong
+      assert(!idx.split && idx.lloydSteps == 0, s"guard fired on a balanced corpus: $idx")
+      assert(idx.maxList <= cap, s"max list ${idx.maxList} vs cap $cap")
+    } finally Caches.release()
+  }
+
   test("approx-quantile rank contract: tie range straddles the band on a point-mass distribution") {
     // 40% of rows share the median value: the naive count(<=v)/n = 0.7
     // would false-fail even though the sketch is exactly right; the
