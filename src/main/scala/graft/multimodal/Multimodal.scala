@@ -147,5 +147,50 @@ object Multimodal {
       FROM documents, unnest(generate_series(0, 7 + doc_id % 8, 4)) t(i)"""),
     tags = Set("multimodal"))
 
-  def all: Seq[GQuery] = Seq(metadata, decodeFeaturesQuery, frameSample)
+  /** Resize planning — the metadata-only half of an image-resize
+    * stage: fit each image into a 256×256 box preserving aspect ratio
+    * with integer floor math (exact, so the oracle replays it), and a
+    * `needs_resize` gate. The 100 TB point is WHERE this runs: the
+    * fit math needs only the metadata struct plus the stored payload
+    * LENGTH (a catalog column in a real media table; synthesized here),
+    * so the plan prunes already-small images out of the decode
+    * `mapPartitions` before any payload byte is decoded or shuffled —
+    * the same gate-at-scan posture as pipeline_curate. The pixel
+    * transform itself slots into the
+    * [[decodeFeatures]] partition iterator (stubbed like decode;
+    * `est_bytes` scales the payload length by the pixel ratio). */
+  val resize: GQuery = GQuery(
+    "mm_resize",
+    (s, dir) =>
+      mediaTable(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          length(col("blob")).cast("long").as("n_bytes"))
+        .withColumn("mx", greatest(col("width"), col("height")))
+        .withColumn("needs_resize", (col("mx") > 256).cast("long"))
+        .withColumn("target_w",
+          when(col("mx") > 256, expr("width * 256 DIV mx")).otherwise(col("width")))
+        .withColumn("target_h",
+          when(col("mx") > 256, expr("height * 256 DIV mx")).otherwise(col("height")))
+        .withColumn("est_bytes", expr("n_bytes * (target_w * target_h) DIV (width * height)"))
+        .drop("mx", "n_bytes"),
+    Some("""
+      WITH m AS (SELECT doc_id,
+                        CAST(64 + (doc_id % 32) * 16 AS BIGINT) AS width,
+                        CAST(64 + ((doc_id // 32) % 32) * 16 AS BIGINT) AS height,
+                        CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes
+                 FROM documents),
+      t AS (SELECT doc_id, width, height, n_bytes, greatest(width, height) AS mx FROM m),
+      fit AS (SELECT doc_id, width, height, n_bytes,
+                     CAST(mx > 256 AS BIGINT) AS needs_resize,
+                     CASE WHEN mx > 256 THEN width * 256 // mx ELSE width END AS target_w,
+                     CASE WHEN mx > 256 THEN height * 256 // mx ELSE height END AS target_h
+              FROM t)
+      SELECT doc_id, width, height, needs_resize, target_w, target_h,
+             n_bytes * (target_w * target_h) // (width * height) AS est_bytes
+      FROM fit"""),
+    tags = Set("multimodal"))
+
+  def all: Seq[GQuery] = Seq(metadata, decodeFeaturesQuery, frameSample, resize)
 }
