@@ -59,7 +59,17 @@ object Bench {
     // session warm-up: codegen, parquet footer reads, shuffle init
     runOnce("q6_forecast_revenue")
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=k1,k2 restricts the timed keys
+    // (unset for the driver's full run); same loud-typo contract as
+    // Verify's SPARK_GRAFT_ONLY
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // sorted run times per key (empty = every run failed)
     val results: Seq[(String, Either[String, Seq[Double]])] = names.map { name =>
       val runs = (1 to n).map(_ => runOnce(name))

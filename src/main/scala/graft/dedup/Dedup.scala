@@ -152,6 +152,14 @@ object Dedup {
   val ngramJaccard: GQuery = GQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
+      // NOT persisted although shc feeds three consumers (both
+      // self-join sides + per-doc counts): shingle frames are cheap
+      // to recompute (one split+explode) but large to store, and an
+      // A/B at sf0.1 measured the persist 10-100% SLOWER than the
+      // recompute — the opposite profile from signBands (heavy 64×
+      // explode + two aggregations collapsing to a tiny band frame),
+      // which IS persisted. Persist pays when compute-to-size is
+      // high; a raw shingle explode is the low case.
       val shc = cappedShingles(shingles(Tables.documents(s, dir)))
       val n = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = shc.as("a")
@@ -209,6 +217,8 @@ object Dedup {
   val minhashLsh: GQuery = GQuery(
     "dedup_minhash_lsh",
     (s, dir) => {
+      // sh feeds four consumers but is deliberately NOT persisted —
+      // same A/B-measured reasoning as ngramJaccard above
       val sh = shingles(Tables.documents(s, dir))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       verifiedJaccard(bandCandidates(minhashBands(sh)), sh, n)

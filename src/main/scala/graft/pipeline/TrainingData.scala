@@ -49,6 +49,13 @@ object TrainingData {
     // per text hash): a min+semi-join spelling would re-scan the
     // documents and re-evaluate the gate regexes once per branch and
     // add a join shuffle; this shuffles the gated rows once
+    // survivors feed both the shingle/minhash pipeline and the final
+    // anti-join but are deliberately NOT persisted: an A/B at sf0.1
+    // measured the persist ~30% slower end-to-end — the frame carries
+    // full text (large to store) while its recompute shares the
+    // min_by exchange, so storing buys little and costs a full
+    // materialization (cf. the persisted signBands, where a heavy
+    // explode collapses to a tiny band frame)
     val survivors = gated
       .groupBy(md5(col("text")).as("h"))
       .agg(min_by(
