@@ -10,8 +10,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -69,23 +69,43 @@ private[sources] class TpchTable(opts: Map[String, String]) extends Table with S
     // reader options already rode in via getTable properties; merge
     // anyway so catalog-provided tables can still take per-read options
     val merged = opts ++ options.asCaseSensitiveMap().asScala
-    new ScanBuilder { override def build(): Scan = new TpchV1Scan(merged) }
+    // column pruning happens HERE, at the DSv2 ScanBuilder (the V1
+    // PrunedScan interface is never consulted on the V1Scan shim
+    // path): the Row conversion on the V1 boundary is the shim's only
+    // real cost, so narrowing the generated plan to the required
+    // columns means a count() over generated lineitem converts zero
+    // values per row instead of sixteen
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = new TpchV1Scan(merged, required)
+    }
   }
 }
 
-private[sources] class TpchV1Scan(opts: Map[String, String]) extends V1Scan {
+private[sources] class TpchV1Scan(opts: Map[String, String],
+    required: Option[StructType]) extends V1Scan {
   override def readSchema(): StructType =
-    TpchDataSource.plan(SparkSession.active, opts).schema
+    required.getOrElse(TpchDataSource.plan(SparkSession.active, opts).schema)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new TpchRelation(context, opts).asInstanceOf[T]
+    new TpchRelation(context, opts, required).asInstanceOf[T]
 }
 
 private[sources] class TpchRelation(override val sqlContext: SQLContext,
-    opts: Map[String, String]) extends BaseRelation with TableScan {
-  private val df = TpchDataSource.plan(sqlContext.sparkSession, opts)
+    opts: Map[String, String], required: Option[StructType] = None)
+    extends BaseRelation with TableScan with PrunedScan {
+  private val df = {
+    val base = TpchDataSource.plan(sqlContext.sparkSession, opts)
+    // an EMPTY required schema is a pure count: project zero columns
+    required.fold(base)(r =>
+      base.select(r.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+  }
   override def schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
+    df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).rdd
 }
 
 object TpchDataSource {

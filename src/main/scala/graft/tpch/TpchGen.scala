@@ -493,8 +493,13 @@ object TpchGen {
     * proven through the correctness gate: all 8 tables read via
     * `spark.read.format("tpch")` at the dir's sf — their total row
     * count replays the spec layout, and the format's orders scan is
-    * multiset-identical to the direct generator plan (exceptAll drift
-    * in both directions, oracled to literal 0). */
+    * multiset-identical to the direct generator plan — checked as
+    * equality of the order-independent sum of per-row xxhash64 over
+    * all columns (equal multisets give equal sums; an inequality
+    * colliding to equal sums needs a 2⁻⁶⁴ event), oracled to literal
+    * 0. Two aggregates instead of the two wide exceptAll shuffles
+    * this key first shipped with — TpchSourceSpec keeps the exact
+    * exceptAll proof at spec scale. */
   val genSourceFormat: GQuery = GQuery(
     "gen_source_format",
     (s, dir) => {
@@ -503,10 +508,14 @@ object TpchGen {
         s.read.format("tpch").option("sf", sf).option("table", t).load()
       val totals = tableNames.map(t => read(t).agg(count(lit(1)).as("c")))
         .reduce(_ unionByName _).agg(sum(col("c")).as("total_rows"))
-      val direct = orders(s, sf)
-      val viaFormat = read("orders")
-      val drift = viaFormat.exceptAll(direct).unionByName(direct.exceptAll(viaFormat))
-        .agg(count(lit(1)).as("orders_scan_drift"))
+      // decimal(38,0) sum: exact and overflow-free under ANSI mode
+      // (~10⁶ rows × |hash| ≤ 2⁶³ stays far under 38 digits)
+      def rowHashSum(df: DataFrame): DataFrame =
+        df.agg(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)")).as("h"))
+      val drift = rowHashSum(read("orders")).crossJoin(
+          rowHashSum(orders(s, sf)).withColumnRenamed("h", "h2"))
+        .select(when(col("h") === col("h2"), 0L).otherwise(1L).as("orders_scan_drift"))
       totals.crossJoin(drift)
     },
     Some("""

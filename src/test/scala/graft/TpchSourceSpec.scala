@@ -39,6 +39,19 @@ class TpchSourceSpec extends SparkSpecBase {
       .option("numParts", 3).option("part", 1).load().count() == 0)
   }
 
+  test("column pruning reaches the format scan") {
+    // the V1 shim's only real cost is the Row conversion on the scan
+    // boundary; PrunedScan narrows it to the projected columns — the
+    // physical scan over a 2-column projection must not emit the
+    // other 7 orders columns
+    val plan = viaFormat("orders").select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("Scan graft.sources.TpchRelation"))
+      .getOrElse(fail(s"no TpchRelation scan in plan:\n$plan"))
+    assert(scanLine.contains("o_orderkey") && scanLine.contains("o_totalprice"), scanLine)
+    assert(!scanLine.contains("o_comment") && !scanLine.contains("o_orderdate"), scanLine)
+  }
+
   test("generation is parameterized fully inside SQL via USING tpch") {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tpch_src_lineitem " +
       s"USING tpch OPTIONS (table 'lineitem', sf '$SF')")
