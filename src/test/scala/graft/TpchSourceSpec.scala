@@ -64,6 +64,24 @@ class TpchSourceSpec extends SparkSpecBase {
     } finally spark.catalog.dropTempView("tpch_src_lineitem")
   }
 
+  test("the tpch catalog serves generated tables straight from SQL identifiers") {
+    spark.conf.set("spark.sql.catalog.tpch", "graft.sources.TpchCatalog")
+    // underscore spelling for a fractional sf (dot separates SQL
+    // identifiers); counts must equal the direct generator's
+    val n = spark.sql("SELECT count(*) AS c FROM tpch.sf0_02.lineitem").head().getLong(0)
+    assert(n == TpchGen.lineitem(spark, 0.02).count())
+    // backticked dot spelling and an integer sf namespace
+    assert(spark.sql("SELECT count(*) AS c FROM tpch.`sf0.02`.orders").head().getLong(0)
+      == TpchGen.orders(spark, 0.02).count())
+    assert(spark.sql("SELECT count(*) AS c FROM tpch.sf1.region").head().getLong(0) == 5)
+    // SHOW TABLES sees the 8 virtual tables; unknown namespace/table fail
+    assert(spark.sql("SHOW TABLES IN tpch.sf1").count() == 8)
+    intercept[Exception](spark.sql("SELECT * FROM tpch.sf1.linitem").collect())
+    intercept[Exception](spark.sql("SELECT * FROM tpch.nope.lineitem").collect())
+    // read-only: no DDL reaches the generated namespace
+    intercept[Exception](spark.sql("DROP TABLE tpch.sf1.lineitem"))
+  }
+
   test("bad options fail at resolution with actionable messages") {
     def msgOf(f: => Any): String =
       intercept[Exception](f).getMessage
