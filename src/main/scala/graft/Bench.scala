@@ -103,8 +103,13 @@ object Bench {
       .mkString("{\"spread\":{", ",", "}}"))
     System.err.println(s"""{"noisy":$noisy,"noisy_dropped":${noisyAll.size - noisyAll.take(5).size}}""")
     // sf as the numeric scale factor, not the dir path: 18 chars the
-    // tail window doesn't need to spend
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(s""""$sfDir"""")
+    // tail window doesn't need to spend. LAST match (a path like
+    // /data/sf2024/runs/sf0.1 must report 0.1), toDoubleOption guards
+    // trailing-dot captures from e.g. "sf0.1.snap", and the fallback
+    // re-serializes the path as a valid JSON string
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir).toSeq.lastOption
+      .map(_.group(1)).filter(_.toDoubleOption.isDefined)
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":$sfNum,"n":$n,"failed":$failedJson}"""
     if (line.length > 1990)

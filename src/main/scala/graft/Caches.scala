@@ -15,6 +15,15 @@ import org.apache.spark.sql.DataFrame
   * via [[persistTracked]], and harnesses call [[release]] after each
   * terminal action (`Verify` after each query dump, `Bench` before
   * each timed run so every measurement is a cold full execution).
+  *
+  * Scope: the registry is PROCESS-GLOBAL and release() drains all of
+  * it — the contract is one harness owning the session's cache
+  * lifecycle at a time (Verify, Bench, a driver job). Concurrent
+  * independent queries in a shared long-lived session should not
+  * interleave release() calls: one caller's release would unpersist
+  * another's in-flight band frame (correct, Spark recomputes, but the
+  * persist's savings are lost). Such a service should persist and
+  * unpersist per-request frames itself.
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -277,18 +277,27 @@ object Ann {
       maxListFactor: Double = 4.0, maxSteps: Int = 2): IvfIndex = {
     val vecs = graft.Caches.persistTracked(vecsIn)
     val n = vecs.count()
+    require(n > 0, "ivfBalanced needs a non-empty corpus")
     val cap = math.max(1L, math.ceil(maxListFactor * n / c).toLong)
     def withList(a: DataFrame): DataFrame =
       a.withColumn("list_id", struct(col("c_id"), lit(0L).as("sub")))
     def maxListOf(a: DataFrame): Long =
       a.groupBy(col("list_id")).count().agg(max(col("count"))).head().getLong(0)
-    var cents = ivfSeeds(vecs, c)
-    var assign = withList(ivfAssign(vecs, cents))
+    // every iteration's cents/assign are persisted (tracked): both are
+    // TINY relative to their compute (≤c centroid rows; (vec_id, c_id)
+    // pairs vs an N×c cosine cross-join) — the profile where persist
+    // pays — and each is read several times (the balance check, the
+    // next Lloyd step's lineage, the split aggregates, the returned
+    // index). Without this, step k's check re-executes every previous
+    // step's full assignment pipeline.
+    def tracked(df: DataFrame): DataFrame = graft.Caches.persistTracked(df)
+    var cents = tracked(ivfSeeds(vecs, c))
+    var assign = tracked(withList(ivfAssign(vecs, cents)))
     var m = maxListOf(assign)
     var steps = 0
     while (m > cap && steps < maxSteps) {
-      cents = ivfLloydStep(vecs, cents)
-      assign = withList(ivfAssign(vecs, cents))
+      cents = tracked(ivfLloydStep(vecs, cents))
+      assign = tracked(withList(ivfAssign(vecs, cents)))
       steps += 1
       m = maxListOf(assign)
     }
@@ -296,11 +305,11 @@ object Ann {
     if (didSplit) {
       val nsub = assign.groupBy(col("c_id")).agg(count(lit(1)).as("sz"))
         .select(col("c_id"), ceil(col("sz") / lit(cap)).cast("long").as("nsub"))
-      assign = assign.drop("list_id").join(broadcast(nsub), Seq("c_id"))
+      assign = tracked(assign.drop("list_id").join(broadcast(nsub), Seq("c_id"))
         .withColumn("list_id", struct(col("c_id"),
           when(col("nsub") <= 1, lit(0L))
             .otherwise(pmod(xxhash64(col("vec_id")), col("nsub"))).as("sub")))
-        .select(col("vec_id"), col("c_id"), col("list_id"))
+        .select(col("vec_id"), col("c_id"), col("list_id")))
       m = maxListOf(assign)
     }
     IvfIndex(cents, assign, m, steps, didSplit)

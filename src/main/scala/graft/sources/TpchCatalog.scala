@@ -48,11 +48,15 @@ class TpchCatalog extends TableCatalog {
       case None => throw new NoSuchNamespaceException(name() +: namespace.toSeq)
     }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // case-insensitive like Spark's default identifier resolution
+    // (LINEITEM is classic TPC-H spelling); sfOf lowercases too
+    val table = ident.name().toLowerCase(Locale.ROOT)
     sfOf(ident.namespace())
-      .filter(_ => TpchGen.tableNames.contains(ident.name()))
-      .map(sf => new TpchTable(Map("table" -> ident.name(), "sf" -> sf.toString)))
+      .filter(_ => TpchGen.tableNames.contains(table))
+      .map(sf => new TpchTable(Map("table" -> table, "sf" -> sf.toString)))
       .getOrElse(throw new NoSuchTableException(name() +: ident.namespace().toSeq :+ ident.name()))
+  }
 
   private def readOnly = new UnsupportedOperationException(
     s"catalog ${name()} is read-only: tables are generated, not stored")

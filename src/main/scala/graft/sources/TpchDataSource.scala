@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -61,7 +61,11 @@ private[sources] class TpchTable(opts: Map[String, String]) extends Table with S
   private val parsed = TpchDataSource.parse(opts)
 
   override def name(): String = s"tpch_${parsed._1}(sf=${parsed._2})"
-  override def schema(): StructType = TpchDataSource.plan(SparkSession.active, opts).schema
+  // memoized: the analyzer asks for the schema repeatedly per query,
+  // and each plan() call rebuilds the whole generator expression tree
+  private lazy val schema0: StructType =
+    TpchDataSource.plan(SparkSession.active, opts).schema
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -95,7 +99,7 @@ private[sources] class TpchV1Scan(opts: Map[String, String],
 
 private[sources] class TpchRelation(override val sqlContext: SQLContext,
     opts: Map[String, String], required: Option[StructType] = None)
-    extends BaseRelation with TableScan with PrunedScan {
+    extends BaseRelation with TableScan {
   private val df = {
     val base = TpchDataSource.plan(sqlContext.sparkSession, opts)
     // an EMPTY required schema is a pure count: project zero columns
@@ -104,8 +108,6 @@ private[sources] class TpchRelation(override val sqlContext: SQLContext,
   }
   override def schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] =
-    df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).rdd
 }
 
 object TpchDataSource {
@@ -120,12 +122,18 @@ object TpchDataSource {
       catch { case _: NumberFormatException => throw new IllegalArgumentException(
         s"tpch option '$key' must be numeric, got '$raw'") }
     }
-    val table = o.get("table").orElse(o.get("path")).getOrElse(throw new IllegalArgumentException(
-      s"tpch source needs a 'table' option (or load path): one of ${TpchGen.tableNames.mkString(", ")}"))
+    // table matching is case-insensitive like the rest of Spark's
+    // identifier resolution (LINEITEM is classic TPC-H spelling)
+    val table = o.get("table").orElse(o.get("path"))
+      .map(_.toLowerCase(Locale.ROOT))
+      .getOrElse(throw new IllegalArgumentException(
+        s"tpch source needs a 'table' option (or load path): one of ${TpchGen.tableNames.mkString(", ")}"))
     require(TpchGen.tableNames.contains(table),
       s"unknown tpch table '$table' (expected one of ${TpchGen.tableNames.mkString(", ")})")
     require(o.contains("sf"), "tpch source needs an 'sf' option (scale factor, e.g. sf '1')")
-    (table, num("sf", "", _.toDouble), num("numparts", "0", _.toInt), num("part", "-1", _.toInt))
+    val sf = num("sf", "", _.toDouble)
+    require(sf > 0, s"tpch option 'sf' must be positive, got $sf")
+    (table, sf, num("numparts", "0", _.toInt), num("part", "-1", _.toInt))
   }
 
   private[sources] def plan(spark: SparkSession, options: Map[String, String]): DataFrame = {

@@ -18,14 +18,16 @@ class CachesSpec extends SparkSpecBase {
 
   test("after release the SQL cache holds no band frames") {
     Caches.release()
+    spark.catalog.clearCache() // earlier suites' untracked caches don't count
     SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the run should have left a tracked band frame in the CacheManager")
     assert(Caches.release() >= 1)
-    // a fresh build after release must be un-cached until executed
-    // again: its plan may still SHOW InMemoryRelation only if the
-    // CacheManager kept an entry — clearCache guarantees none remain,
-    // and release() must have already emptied the tracked queue
-    spark.catalog.clearCache()
+    // release() must UNPERSIST, not merely forget: the CacheManager
+    // itself has to be empty, with no clearCache() help
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() drained the queue but left entries in the CacheManager")
     assert(Caches.release() == 0)
   }
 }
