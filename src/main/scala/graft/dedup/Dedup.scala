@@ -505,5 +505,112 @@ object Dedup {
       WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $C_THRESHOLD"""),
     tags = Set("dedup"))
 
-  def all: Seq[GQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding)
+  /** Semantic-dedup similarity cut. Matches [[C_THRESHOLD]] (the
+    * pairwise embedding cut) so the two embedding-dedup keys agree on
+    * what "near-duplicate" means; SemDeDup-style production runs tune
+    * this per corpus (the published sweet spot is far higher, ~0.95+,
+    * on real text embeddings — this synthetic corpus clusters looser). */
+  private[graft] val SEM_THRESHOLD = 0.4
+
+  /** Cluster-then-dedup over quantized embeddings — `vecs` is
+    * `(vec_id, e: array<bigint>)`. Shared by the oracle key and
+    * DedupSpec (which drives it at several thresholds). */
+  private[graft] def semanticFrom(vecs: DataFrame, threshold: Double): DataFrame = {
+    import graft.similarity.Ann
+    val cents = Ann.ivfLloydStep(vecs, Ann.ivfSeeds(vecs))
+    val assign = Ann.ivfAssign(vecs, cents)
+    val sizes = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n_cluster"))
+    val withE = assign.join(vecs, Seq("vec_id"))
+    val dups = withE.as("a")
+      .join(withE.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", Ann.cosine(expr("dot_long(a.e, b.e)"),
+        expr("dot_long(a.e, a.e)"), expr("dot_long(b.e, b.e)")))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assign.join(broadcast(sizes), Seq("c_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("n_cluster"),
+        col("dup").isNull.as("kept"))
+  }
+
+  /** Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * k-means, then compare pairs ONLY within a cluster and drop every
+    * vector that has a lower-id cluster-mate above the similarity
+    * cut. This is the third member of the embedding-dedup family and
+    * the one that scales past pairwise blocking: [[embedding]] emits
+    * near-dup PAIRS (LSH-banded), this emits a per-vector KEEP/DROP
+    * decision whose candidate space is bounded by cluster size — at
+    * 100 TB the knob is the centroid count C ∝ N (cluster size stays
+    * ~N/C), and the production index build is [[graft.similarity
+    * .Ann.ivfBalanced]], whose Lloyd-until-balanced loop plus
+    * hash-split guarantees no oversized cluster regardless of
+    * duplicate mass. The oracle key is the FIXED one-step
+    * construction (identical to `ann_ivf_topk`'s, one shared
+    * implementation) so DuckDB can replay centroids, assignment and
+    * every within-cluster cosine exactly (quantized-integer math).
+    * Within-cluster pairing is an equi-join on `c_id` — never a
+    * cross join; the keep rule (drop iff a LOWER-id mate is within
+    * the cut) is order-deterministic, needs no transitive closure,
+    * and is the published SemDeDup policy (keep one representative
+    * per ε-tube, which one is arbitrary — id order makes it
+    * replayable). */
+  val semantic: GQuery = GQuery(
+    "dedup_semantic",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), graft.similarity.Ann.quant.as("e"))
+      semanticFrom(vecs, SEM_THRESHOLD)
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      seeds AS (SELECT vec_id AS c_id, e AS ce,
+                       CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS cn
+                FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT ${graft.similarity.Ann.IVF_C}),
+      seed_scored AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, seeds),
+      seed_assign AS (
+        SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM seed_scored) WHERE rn = 1),
+      dims AS (SELECT a.c_id, d, qv.e[d + 1] AS v
+               FROM seed_assign a JOIN qv USING (vec_id), range(64) t(d)),
+      dim_means AS (SELECT c_id, d, CAST(floor(sum(v) / count(*)) AS BIGINT) AS m
+                    FROM dims GROUP BY 1, 2),
+      cents AS (SELECT c_id, list(m ORDER BY d) AS ce,
+                       CAST(list_sum(list_transform(list(m ORDER BY d), x -> x * x)) AS BIGINT) AS cn
+                FROM dim_means GROUP BY 1),
+      scored_cents AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, cents),
+      assign AS (
+        SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM scored_cents) WHERE rn = 1),
+      sizes AS (SELECT c_id, count(*) AS n_cluster FROM assign GROUP BY 1),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+      dots AS (SELECT va, vb,
+                      CAST(list_sum(list_transform(list_zip(qa.e, qb.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+               FROM pairs JOIN qv qa ON va = qa.vec_id JOIN qv qb ON vb = qb.vec_id),
+      dups AS (SELECT DISTINCT vb AS vec_id
+               FROM dots JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id
+               WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $SEM_THRESHOLD)
+      SELECT a.vec_id, a.c_id, sizes.n_cluster, (d.vec_id IS NULL) AS kept
+      FROM assign a JOIN sizes USING (c_id) LEFT JOIN dups d ON a.vec_id = d.vec_id"""),
+    tags = Set("dedup"))
+
+  def all: Seq[GQuery] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding, semantic)
 }

@@ -22,10 +22,10 @@ object Ann {
   private val K = 5        // top-k neighbours per query
   private val N_QUERIES = 10 // query set = vec_id < 10
 
-  private val quant: Column =
+  private[graft] val quant: Column =
     expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
 
-  private def cosine(dot: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 6)
 
   // --------------------------------------------------- brute force
@@ -206,7 +206,7 @@ object Ann {
 
   // ------------------------------------------------------- IVF-Flat
 
-  private val IVF_C = 16      // coarse centroids
+  private[graft] val IVF_C = 16      // coarse centroids
   private val IVF_NPROBE = 4  // probed lists per query
 
   // ------------------------- IVF internals, shared by the oracle key

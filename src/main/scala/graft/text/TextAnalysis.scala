@@ -185,5 +185,65 @@ object TextAnalysis {
       FROM wl GROUP BY 1"""),
     tags = Set("text"))
 
-  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint, rarity)
+  /** Bigram LM scoring core — `docs` is any frame with (doc_id,
+    * text). Shared by the oracle key and TextSpec's synthetic-corpus
+    * assertions. Docs with <2 non-empty tokens have no bigrams and
+    * drop out (documented contract, mirrored by the oracle). */
+  private[graft] def lmScoreFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val occ = docs
+      .withColumn("ws", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ctx = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    occ.join(ctx, "w1").join(big, Seq("w1", "w2"))
+      .withColumn("bits",
+        (length(conv(col("c1"), 10, 2)) - length(conv(col("c2"), 10, 2))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("bits")), 4).as("mean_bits"),
+        max(col("bits")).as("max_bits"))
+  }
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et
+    * al. 2020, the standard LLM-corpus perplexity filter): train a
+    * bigram model ON the corpus itself (two map-side-combined
+    * aggregates: context counts c(w1), bigram counts c(w1,w2)), then
+    * score every bigram occurrence by an integer-exact surprisal
+    * proxy — bitlen(c(w1)) − bitlen(c(w1,w2)), i.e. ⌊log₂⌋-scale
+    * −log p(w2|w1) — and report each document's mean ("bits per
+    * bigram", a pseudo-perplexity: high = improbable word
+    * transitions → boilerplate/garbage candidates; low = the corpus'
+    * own idiom). Bit-length log₂ instead of floating log keeps every
+    * weight an exact integer, so the DuckDB oracle replays the whole
+    * model bit-for-bit (same trick as [[rarity]]). Scale shape: the
+    * model is two df-style aggregates over the occurrence stream,
+    * the scoring join is 1:N per (w1[,w2]) key with stop-word skew
+    * absorbed the same way as [[rarity]]'s df join (AQE splits hot
+    * partitions; the join can never fan out — counts are one row per
+    * key). */
+  val lmScore: GQuery = GQuery(
+    "text_lm_score",
+    (s, dir) => lmScoreFrom(Tables.documents(s, dir)),
+    Some("""
+      WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+                  FROM documents),
+      occ AS (SELECT doc_id,
+                     unnest(w[1:len(w) - 1]) AS w1,
+                     unnest(w[2:len(w)]) AS w2
+              FROM ws WHERE len(w) >= 2),
+      ctx AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+      big AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+      wl AS (SELECT doc_id,
+                    length(printf('%b', c1)) - length(printf('%b', c2)) AS bits
+             FROM occ JOIN ctx USING (w1) JOIN big USING (w1, w2))
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(bits), 4) AS mean_bits,
+             CAST(max(bits) AS BIGINT) AS max_bits
+      FROM wl GROUP BY 1"""),
+    tags = Set("text"))
+
+  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint, rarity, lmScore)
 }
