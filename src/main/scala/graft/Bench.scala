@@ -94,8 +94,14 @@ object Bench {
     }
     def f2(d: Double): String = f"$d%.2f"
     def f3(d: Double): String = f"$d%.3f"
+    // stderr spread keeps 3 decimals (unbounded channel); the stdout
+    // `slow` map uses 2 — the doc comment's size-budget rationale cites
+    // 2-decimal precision, and the ~6 chars/entry that f3 cost in r8
+    // trimmed the 5th-most-expensive key out of the archive
     def triple(ts: Seq[Double]): String =
       s"[${f3(ts.head)},${f3(ts(ts.size / 2))},${f3(ts.last)}]"
+    def triple2(ts: Seq[Double]): String =
+      s"[${f2(ts.head)},${f2(ts(ts.size / 2))},${f2(ts.last)}]"
     val qs = results.map {
       case (k, Right(ts)) => s""""$k":${f2(ts.head)}"""
       case (k, Left(_)) => s""""$k":-1"""
@@ -133,13 +139,25 @@ object Bench {
     // the line would blow the 2000-char tail window.
     val costly = results.collect { case (k, Right(ts)) => (k, ts) }.sortBy(-_._2.head)
     def lineWith(k: Int): String = {
-      val slow = costly.take(k).map { case (key, ts) => s""""$key":${triple(ts)}""" }
+      val slow = costly.take(k).map { case (key, ts) => s""""$key":${triple2(ts)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":$sfNum,"n":$n,"warm":${f2(warmup)},"slow":$slow,"failed":$failedJson}"""
     }
-    val line = (5 to 0 by -1).map(lineWith).find(_.length <= 1990).getOrElse(lineWith(0))
-    if (line.length > 1990)
+    // budget: the driver archives the last 2000 chars of combined
+    // output, and sbt's own trailing "[success] Total time: …" line
+    // (~75 chars) lives inside that same window AFTER this line — r8
+    // proved a 1990-char line gets its HEAD cut (metric/value/unit
+    // lost). 1900 = 2000 − sbt-trailer − newline margin.
+    val budget = 1900
+    val kMax = math.min(5, costly.size)
+    val (kUsed, line) = (kMax to 0 by -1).iterator.map(k => (k, lineWith(k)))
+      .find(_._2.length <= budget).getOrElse((0, lineWith(0)))
+    // unlike noisy_dropped, trimmed slow entries used to vanish
+    // silently — r8 dropped the 5th-most-expensive key with no trace
+    if (kUsed < kMax)
+      System.err.println(s"""{"slow_dropped":${kMax - kUsed}}""")
+    if (line.length > budget)
       System.err.println(s"[bench] WARNING stdout line ${line.length} chars exceeds driver tail window")
     println(line)
     spark.stop()
