@@ -505,12 +505,13 @@ object Dedup {
       WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $C_THRESHOLD"""),
     tags = Set("dedup"))
 
-  /** Semantic-dedup similarity cut. Matches [[C_THRESHOLD]] (the
-    * pairwise embedding cut) so the two embedding-dedup keys agree on
-    * what "near-duplicate" means; SemDeDup-style production runs tune
-    * this per corpus (the published sweet spot is far higher, ~0.95+,
-    * on real text embeddings — this synthetic corpus clusters looser). */
-  private[graft] val SEM_THRESHOLD = 0.4
+  /** Semantic-dedup similarity cut. Defined AS [[C_THRESHOLD]] (the
+    * pairwise embedding cut) so the two embedding-dedup keys cannot
+    * drift apart on what "near-duplicate" means; SemDeDup-style
+    * production runs tune this per corpus (the published sweet spot is
+    * far higher, ~0.95+, on real text embeddings — this synthetic
+    * corpus clusters looser). */
+  private[graft] val SEM_THRESHOLD = C_THRESHOLD
 
   /** Cluster-then-dedup over quantized embeddings — `vecs` is
     * `(vec_id, e: array<bigint>)`. Shared by the oracle key and
@@ -531,6 +532,51 @@ object Dedup {
     assign.join(broadcast(sizes), Seq("c_id"))
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"), col("n_cluster"),
+        col("dup").isNull.as("kept"))
+  }
+
+  /** Production-path semantic dedup: [[semanticFrom]]'s SemDeDup
+    * keep-rule composed with [[graft.similarity.Ann.ivfBalanced]]'s
+    * balance-guarded index — the 100 TB wiring the oracle key's fixed
+    * construction documents but cannot replay (the guard's Lloyd step
+    * count and hash-split depend on runtime list sizes). Candidate
+    * pairs join on `list_id` (= struct(c_id, sub)) rather than raw
+    * `c_id`, so even a duplicate-mass corpus — 10⁶ copies of one
+    * embedding, which no centroid geometry separates — bounds every
+    * within-list all-to-all at ~cap = maxListFactor·N/c rows: pairs
+    * per list ≤ ~cap²/2 regardless of N or skew. The recall cost of
+    * the split is the documented SemDeDup trade: copies landing in
+    * different sub-lists each keep one representative (≤ nsub
+    * survivors per ε-tube instead of 1) — still a ~cap-fold
+    * reduction of the mass, never a quadratic blow-up. Spec-only by
+    * design, like `ivfBalanced` itself; DedupSpec pins the pair
+    * bound, the per-sub-list representative rule, and recall against
+    * the unbalanced build on a split-free corpus. Caller releases
+    * tracked persists via [[graft.Caches.release]] after the
+    * terminal action. */
+  private[graft] def semanticBalanced(vecs: DataFrame,
+      threshold: Double = SEM_THRESHOLD,
+      c: Int = graft.similarity.Ann.IVF_C,
+      maxListFactor: Double = 4.0, maxSteps: Int = 2): DataFrame = {
+    import graft.similarity.Ann
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // minSteps=1: anchor on the same seeds→one-Lloyd-step clustering
+    // as [[semanticFrom]], so with no split the keep/drop decision is
+    // IDENTICAL to the oracle-checked key (DedupSpec pins equality);
+    // the balance guard only engages beyond that shared construction
+    val idx = Ann.ivfBalanced(vecs, c, maxListFactor, maxSteps, minSteps = 1)
+    val sizes = idx.assign.groupBy(col("list_id")).agg(count(lit(1)).as("n_list"))
+    val withE = idx.assign.join(vecs, Seq("vec_id"))
+    val dups = withE.as("a")
+      .join(withE.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", Ann.cosine(expr("dot_long(a.e, b.e)"),
+        expr("dot_long(a.e, a.e)"), expr("dot_long(b.e, b.e)")))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    idx.assign.join(broadcast(sizes), Seq("list_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("list_id"), col("n_list"),
         col("dup").isNull.as("kept"))
   }
 

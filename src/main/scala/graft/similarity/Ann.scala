@@ -274,7 +274,8 @@ object Ann {
     * assignment (list_id = struct(c_id, sub); sub is 0 unless split),
     * the final max list size, steps taken, and whether a split ran. */
   private[graft] def ivfBalanced(vecsIn: DataFrame, c: Int = IVF_C,
-      maxListFactor: Double = 4.0, maxSteps: Int = 2): IvfIndex = {
+      maxListFactor: Double = 4.0, maxSteps: Int = 2,
+      minSteps: Int = 0): IvfIndex = {
     val vecs = graft.Caches.persistTracked(vecsIn)
     val n = vecs.count()
     require(n > 0, "ivfBalanced needs a non-empty corpus")
@@ -295,7 +296,12 @@ object Ann {
     var assign = tracked(withList(ivfAssign(vecs, cents)))
     var m = maxListOf(assign)
     var steps = 0
-    while (m > cap && steps < maxSteps) {
+    // minSteps: unconditional Lloyd refinement before the balance
+    // guard engages — lets a caller anchor the index to a FIXED
+    // construction (e.g. Dedup.semanticBalanced passes 1 so the
+    // split-free case reproduces semanticFrom's seeds→one-Lloyd-step
+    // clustering exactly); maxSteps still bounds the total
+    while (steps < minSteps || (m > cap && steps < maxSteps)) {
       cents = tracked(ivfLloydStep(vecs, cents))
       assign = tracked(withList(ivfAssign(vecs, cents)))
       steps += 1

@@ -104,6 +104,62 @@ class DedupSpec extends SparkSpecBase {
     assert(m8 <= 150, s"8-bit max bucket $m8 — clusters failed to separate")
   }
 
+  test("semanticBalanced bounds within-list pairs and keeps one representative per sub-list under duplicate mass") {
+    // the corpus ivfBalanced exists for: 600 copies of ONE point (75%
+    // of N) that no centroid geometry separates, rest pseudo-random —
+    // the naive c_id join would do 600²/2 = 180k comparisons in one
+    // list; the hash-split must bound every list near cap
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val n = 800L; val dupes = 600L
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr(s"""CASE WHEN id < $dupes
+                 THEN transform(sequence(0, 63), d -> CAST(IF(d = 0, 10000, 0) AS BIGINT))
+                 ELSE transform(sequence(0, 63), d -> pmod(xxhash64(id, d), 2000) - 1000)
+                 END""").as("e"))
+      val res = Dedup.semanticBalanced(vecs)
+      val cap = math.ceil(4.0 * n / 16).toLong // ivfBalanced's default factor, c=16
+      // every within-list all-to-all is bounded: pairs/list ≤ ~(1.5·cap)²/2,
+      // never the 600²/2 the unsplit cluster would cost
+      val maxList = res.agg(max(col("n_list"))).head().getLong(0)
+      assert(maxList <= (1.5 * cap).toLong, s"max list $maxList vs cap $cap — split did not bound the mass")
+      // identical copies are cosine-1.0 mates: each sub-list keeps
+      // exactly its min-id copy — survivors == #sub-lists holding the
+      // mass (the documented ≤nsub-representatives recall trade)
+      val dupRows = res.filter(col("vec_id") < dupes)
+      val keptDupes = dupRows.filter(col("kept")).count()
+      val dupLists = dupRows.select(col("list_id")).distinct().count()
+      assert(keptDupes == dupLists, s"$keptDupes kept vs $dupLists sub-lists holding the dup mass")
+      // and the mass still collapsed ~cap-fold: ceil(600/cap)=3 sub-lists
+      // (±1 for randoms sharing the parent), not hundreds of survivors
+      assert(keptDupes <= 5, s"$keptDupes survivors from 600 copies — dedup power lost")
+    } finally Caches.release()
+  }
+
+  test("semanticBalanced recall matches the unbalanced build on a split-free corpus") {
+    // on the real (balanced) corpus the guard never fires: no
+    // hash-split, and semanticBalanced anchors on the same
+    // seeds→one-Lloyd-step clustering as semanticFrom (minSteps=1) —
+    // so the production wiring must reproduce the oracle-checked
+    // key's keep/drop decision EXACTLY, not approximately.
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val vecs = sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), similarity.Ann.quant.as("e"))
+      val bal = Dedup.semanticBalanced(vecs)
+      assert(bal.filter(col("list_id.sub") =!= 0L).count() == 0,
+        "unexpected hash-split on the balanced real corpus")
+      val dropBal = bal.filter(!col("kept")).select(col("vec_id"))
+      val dropUnbal = Dedup.semanticFrom(vecs, Dedup.SEM_THRESHOLD)
+        .filter(!col("kept")).select(col("vec_id"))
+      val nUnbal = dropUnbal.count()
+      assert(nUnbal > 0, "degenerate corpus: unbalanced build dropped nothing")
+      assert(dropBal.exceptAll(dropUnbal).count() == 0 &&
+        dropUnbal.exceptAll(dropBal).count() == 0,
+        s"split-free balanced build diverged from the $nUnbal unbalanced drops")
+    } finally Caches.release()
+  }
+
   test("minhash LSH finds all near-dups found by the uncapped full-space baseline at sf0.01") {
     // the baseline must score the SAME (full) shingle space minhash
     // verifies against — dedup_ngram_jaccard scores the df-capped
