@@ -34,7 +34,9 @@ object Registry {
     all.map(q => q.name -> q).toMap
   }
 
-  /** Headline queries for the bench loop (one per subsystem family). */
+  /** Headline queries (one per subsystem family) — selected by
+    * `SPARK_GRAFT_BENCH_ONLY=headline` in [[graft.Bench]] for a fast
+    * whole-surface smoke loop. */
   lazy val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q9_profit", "q13_customer_distribution",

@@ -561,9 +561,11 @@ object Dedup {
     import graft.similarity.Ann
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     // minSteps=1: anchor on the same seeds→one-Lloyd-step clustering
-    // as [[semanticFrom]], so with no split the keep/drop decision is
-    // IDENTICAL to the oracle-checked key (DedupSpec pins equality);
-    // the balance guard only engages beyond that shared construction
+    // as [[semanticFrom]]. When the guard never engages past it
+    // (lloydSteps == 1 AND no split) the keep/drop decision is
+    // IDENTICAL to the oracle-checked key — DedupSpec pins equality
+    // after asserting exactly that construction (a second Lloyd step
+    // with sub==0 would also pass a split-only check yet diverge)
     val idx = Ann.ivfBalanced(vecs, c, maxListFactor, maxSteps, minSteps = 1)
     val sizes = idx.assign.groupBy(col("list_id")).agg(count(lit(1)).as("n_list"))
     val withE = idx.assign.join(vecs, Seq("vec_id"))

@@ -276,6 +276,8 @@ object Ann {
   private[graft] def ivfBalanced(vecsIn: DataFrame, c: Int = IVF_C,
       maxListFactor: Double = 4.0, maxSteps: Int = 2,
       minSteps: Int = 0): IvfIndex = {
+    require(minSteps <= maxSteps,
+      s"minSteps ($minSteps) must be <= maxSteps ($maxSteps): maxSteps bounds the total Lloyd passes")
     val vecs = graft.Caches.persistTracked(vecsIn)
     val n = vecs.count()
     require(n > 0, "ivfBalanced needs a non-empty corpus")

@@ -146,6 +146,17 @@ class DedupSpec extends SparkSpecBase {
       graft.functions.GraftFunctions.register(spark)
       val vecs = sources.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), similarity.Ann.quant.as("e"))
+      // pin the CONSTRUCTION, not just the absence of a split: the
+      // balance guard can run a second Lloyd step without splitting
+      // (m>cap after step 1, clusterable imbalance) — sub stays 0 but
+      // the clustering diverges from semanticFrom's one-step build.
+      // ivfBalanced is deterministic (md5 seeds, integer Lloyd), so
+      // rebuilding the index semanticBalanced uses reproduces it
+      // exactly; lloydSteps==1 proves the shared construction.
+      val idx = similarity.Ann.ivfBalanced(vecs, minSteps = 1)
+      assert(idx.lloydSteps == 1 && !idx.split,
+        s"guard engaged on the real corpus (steps=${idx.lloydSteps}, split=${idx.split}) — " +
+          "the exact-equality claim below only holds for the shared one-step construction")
       val bal = Dedup.semanticBalanced(vecs)
       assert(bal.filter(col("list_id.sub") =!= 0L).count() == 0,
         "unexpected hash-split on the balanced real corpus")

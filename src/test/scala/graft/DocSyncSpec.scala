@@ -19,9 +19,11 @@ class DocSyncSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
       java.nio.charset.StandardCharsets.UTF_8)
     // restrict to §2 (inventory) — §3+ mention keys in prose/architecture
-    val s2 = survey.substring(
-      survey.indexOf("## §2"),
-      survey.indexOf("## §3"))
+    val i2 = survey.indexOf("## §2")
+    val i3 = survey.indexOf("## §3")
+    assert(i2 >= 0 && i3 > i2,
+      "SURVEY.md §2/§3 headings not found — renamed headings break the inventory pin")
+    val s2 = survey.substring(i2, i3)
     // allow annotations after the key, e.g. "| `stream_dedup` (batch-parity key) |"
     val keyRow = """(?m)^\| `([a-z][a-z0-9_]*)`[^|]*\|""".r
     val documented = keyRow.findAllMatchIn(s2).map(_.group(1)).toSet

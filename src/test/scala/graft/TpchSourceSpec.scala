@@ -82,6 +82,33 @@ class TpchSourceSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("DROP TABLE tpch.sf1.lineitem"))
   }
 
+  test("the tpch catalog exposes its namespace surface: SHOW, DESCRIBE, shard namespaces") {
+    spark.conf.set("spark.sql.catalog.tpch", "graft.sources.TpchCatalog")
+    // SHOW NAMESPACES advertises the canonical sf ladder...
+    val shown = spark.sql("SHOW NAMESPACES IN tpch").collect().map(_.getString(0)).toSet
+    assert(shown == Set("sf0_001", "sf0_01", "sf0_1", "sf1", "sf10", "sf100", "sf1000"), shown)
+    // ...but the contract is dynamic: any sfX/sfX_Y resolves, and
+    // DESCRIBE states the rule plus the parsed scale factor
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED tpch.sf0_25").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("Properties").contains("sf,0.25"), desc)
+    assert(desc("Comment").contains("virtual namespace"), desc)
+    // part_I_of_N child namespace ≙ the reference UDTFs' (sf, part,
+    // num_parts) arguments (lib.rs:84-106): shards tile the table
+    val whole = TpchGen.customer(spark, 0.02).count()
+    val shards = (0 until 3).map(p =>
+      spark.sql(s"SELECT count(*) AS c FROM tpch.sf0_02.part_${p}_of_3.customer")
+        .head().getLong(0))
+    assert(shards.sum == whole, s"shards $shards vs whole $whole")
+    assert(spark.sql("SHOW TABLES IN tpch.sf0_02.part_1_of_3").count() == 8)
+    // invalid shard spellings are namespace errors, not silent full scans
+    intercept[Exception](spark.sql("SELECT * FROM tpch.sf1.part_3_of_3.customer").collect())
+    intercept[Exception](spark.sql("SELECT * FROM tpch.sf1.shard_1.customer").collect())
+    // namespaces are as read-only as the tables
+    intercept[Exception](spark.sql("CREATE NAMESPACE tpch.sf7"))
+    intercept[Exception](spark.sql("DROP NAMESPACE tpch.sf1"))
+  }
+
   test("bad options fail at resolution with actionable messages") {
     def msgOf(f: => Any): String =
       intercept[Exception](f).getMessage
