@@ -25,6 +25,7 @@ object Registry {
       multimodal.Multimodal.all ++
       streaming.Streams.all ++
       tpch.TpchGen.all ++
+      sources.AuxGen.all ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {
