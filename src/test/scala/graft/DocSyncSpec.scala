@@ -35,4 +35,37 @@ class DocSyncSpec extends AnyFunSuite {
     assert(missingFromCode.isEmpty,
       s"SURVEY.md §2 keys absent from the registry: ${missingFromCode.toSeq.sorted.mkString(", ")}")
   }
+
+  test("README totals match the build: registry key count and test count") {
+    // the one doc-drift class the §2 pin doesn't cover — README.md's
+    // headline numbers went stale twice in three rounds (r8/r9). The
+    // README states both counts in machine-checkable spellings:
+    // "<N> registry keys" and "sbt test  # <N> tests".
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keyClaims = """([0-9]+) registry keys""".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(keyClaims.nonEmpty, "README.md no longer states a registry key count")
+    keyClaims.foreach(n =>
+      assert(n == Registry.all.size,
+        s"README.md claims $n registry keys; Registry.all has ${Registry.all.size}"))
+    val testClaim = """# ([0-9]+) tests""".r.findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(testClaim.nonEmpty, "README.md no longer states the test count")
+    // proxy for the suite's own size: test-definition occurrences
+    // across the test sources (we have no ignored/pending tests)
+    val testDir = java.nio.file.Paths.get("src/test/scala/graft")
+    val defined = java.nio.file.Files.list(testDir).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var count = 0
+    while (defined.hasNext) {
+      val p = defined.next()
+      if (p.toString.endsWith(".scala"))
+        count += """test\("""".r.findAllIn(new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).size
+    }
+    assert(testClaim.get == count,
+      s"README.md claims ${testClaim.get} tests; test sources define $count")
+  }
 }
