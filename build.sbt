@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach the console RAW: sbt's default
+// LoggedOutput prefixes stdout lines with "[info] " and stderr with
+// "[error] ", which made Bench's metric line json-unparseable in the
+// driver's archived tail every round (BENCH_r5..r10 all show
+// `parsed: null`). StdoutOutput forwards both streams unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,8 +1,12 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall times.
+/** Benchmark main: the driver-contract JSON line on stdout plus a
+  * compact always-parseable twin on stderr (layout + why: see
+  * [[BenchFormat]]).
   *
   * Methodology (per round-1 verdict): a session warm-up query first
   * (JVM/codegen init otherwise lands on whichever query runs first),
@@ -12,25 +16,15 @@ import org.apache.spark.sql.SparkSession
   * starting COLD — tracked persists are released and the SQL cache
   * cleared before each clock start, so the min is a full execution,
   * never a warm-cache read (round-6 advice).
-  * Failures report -1 for that query and are listed in `failed`
-  * without polluting the total.
   *
-  * Spread (per round-5 verdict): the full [min, med, max] per key and
-  * the `noisy` map — the ≤5 worst keys by max/min ratio (>1.5× and
-  * >0.2 s absolute) — go to STDERR, so a one-off slow run is visibly
-  * machine noise, not a regression debate next round. The stdout line
-  * carries the driver contract (metric/value/unit/queries/sf) plus n,
-  * failures, the warm-up sentinel (`warm`), and — new in round 8 —
-  * `slow`: [min,med,max] triples for the top-5 most EXPENSIVE keys,
-  * so the archived record can exonerate (or convict) its own
-  * outliers without a re-run. Per-key 2-decimal precision keeps all
-  * ~70 keys inside the driver's 2000-char tail window un-truncated —
-  * r6's archive lost the alphabetically-first ann/dedup keys to
-  * payload bloat; r7's lost the minhash spread that a whole verdict
-  * hinged on. `slow` self-trims (5→0 entries) before ever letting
-  * the line overflow, and the trim count rides along as
-  * `slow_dropped` in the SAME line (r9: a separate stderr print was
-  * what the driver's parser grabbed instead of the metric object). */
+  * Contention evidence (round-10 verdict: an 8.1× bench line had to be
+  * adjudicated from a single-sample sentinel): the warm sentinel is
+  * now the MEDIAN of three post-init q6 runs (all three archived as
+  * `warm3`), and the OS 1-minute load average is recorded at both ends
+  * of the run (`load":[start,end]`). Full 3-decimal spreads for every
+  * key go to stderr as "[bench] spread ..." (prefixed — never
+  * json-parseable) and to dev/bench_last.json for post-hoc forensics.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,6 +38,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    def loadAvg(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // (steal jiffies, total jiffies) from /proc/stat — loadavg reads
+    // idle while a shared hypervisor starves the guest; the steal
+    // counter is what convicts the box (r10: 8.1× bench anomaly with
+    // an "idle" loadavg but ~17 min of cumulative steal on the host)
+    def cpuStat(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map { s =>
+          val f = s.trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    val loadStart = loadAvg()
+    val statStart = cpuStat()
 
     def runOnce(name: String): Either[String, Double] =
       try {
@@ -65,13 +76,14 @@ object Bench {
 
     // session warm-up: codegen, parquet footer reads, shuffle init
     runOnce("q6_forecast_revenue")
-    // CONTENTION SENTINEL (round-7 verdict): a second q6 run AFTER
-    // init. Steady-state q6 (single scan+filter+agg, cache-cleared
-    // but JVM warm) is ~0.13 s at sf0.1 on an idle 32-thread box — a
-    // sentinel several × above that norm means the machine was loaded
-    // before any timed key ran, so slow mins later in the line are
-    // machine noise, not regressions. Archived in stdout as "warm".
-    val warmup = runOnce("q6_forecast_revenue").getOrElse(-1.0)
+    // CONTENTION SENTINEL (round-7 verdict, hardened round 11):
+    // post-init q6 runs (single scan+filter+agg, cache-cleared but JVM
+    // warm) measure the box, not the code — steady-state is ~0.13-0.4 s
+    // at sf0.1 on an idle 32-thread box. Median of THREE runs: r10's
+    // single sample (0.91) left "loaded vs. regression" ambiguous for a
+    // whole round; one JIT/page-cache straggler can no longer decide it.
+    val warm3 = (1 to 3).map(_ => runOnce("q6_forecast_revenue").getOrElse(-1.0))
+    val warmup = BenchFormat.median(warm3)
     // Idle-compatible sentinel ceiling, calibrated AT sf0.1 by the r9
     // quiet-box settle (dev/BENCH_NOTES.md: load 0.15 → warm 0.39) and
     // the sf1 anchor run (quiet box, warm 0.50 — q6 steady-state is
@@ -83,7 +95,7 @@ object Bench {
       .flatMap(_.group(1).toDoubleOption).getOrElse(0.1)
     val warmIdleMax = if (sfGuess <= 0.1) 0.4 else 0.4 + 0.2 * math.log10(sfGuess / 0.1)
     if (warmup > warmIdleMax)
-      System.err.println(f"[bench] warm sentinel $warmup%.2f > $warmIdleMax%.2f (sf-scaled ceiling) — box loaded, mins are upper bounds")
+      System.err.println(f"[bench] warm sentinel median $warmup%.2f of [${warm3.map(BenchFormat.f2).mkString(",")}] > $warmIdleMax%.2f (sf-scaled ceiling) — box loaded, mins are upper bounds")
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=k1,k2 restricts the timed keys
     // (unset for the driver's full run); same loud-typo contract as
@@ -108,83 +120,79 @@ object Bench {
       name -> (if (ok.nonEmpty) Right(ok)
                else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
-    val failed = results.collect { case (k, Left(msg)) =>
-      System.err.println(s"[bench] $k FAILED: $msg"); k
+    results.collect { case (k, Left(msg)) =>
+      System.err.println(s"[bench] $k FAILED: $msg")
     }
-    def f2(d: Double): String = f"$d%.2f"
-    def f3(d: Double): String = f"$d%.3f"
-    // stderr spread keeps 3 decimals (unbounded channel); the stdout
-    // `slow` map uses 2 — the doc comment's size-budget rationale cites
-    // 2-decimal precision, and the ~6 chars/entry that f3 cost in r8
-    // trimmed the 5th-most-expensive key out of the archive
-    def triple(ts: Seq[Double]): String =
-      s"[${f3(ts.head)},${f3(ts(ts.size / 2))},${f3(ts.last)}]"
-    def triple2(ts: Seq[Double]): String =
-      s"[${f2(ts.head)},${f2(ts(ts.size / 2))},${f2(ts.last)}]"
-    val qs = results.map {
-      case (k, Right(ts)) => s""""$k":${f2(ts.head)}"""
-      case (k, Left(_)) => s""""$k":-1"""
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(ts)) => ts.head }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // worst spreads: ratio gate for "is it noise?", absolute gate so
-    // sub-second keys can't flood the map; capped to 5 for the budget
-    val noisyAll = results.collect {
-      case (k, Right(ts)) if ts.last / ts.head > 1.5 && ts.last - ts.head > 0.2 =>
-        (k, ts, ts.last / ts.head)
-    }.sortBy(-_._3)
-    val noisy = noisyAll.take(5).map { case (k, ts, _) => s""""$k":${triple(ts)}""" }
-      .mkString("{", ",", "}")
-    // spread + noise detail (stderr: not size-limited, not driver-archived)
-    System.err.println(results.collect { case (k, Right(ts)) => s""""$k":${triple(ts)}""" }
-      .mkString("{\"spread\":{", ",", "}}"))
-    System.err.println(s"""{"noisy":$noisy,"noisy_dropped":${noisyAll.size - noisyAll.take(5).size}}""")
-    // sf as the numeric scale factor, not the dir path: 18 chars the
-    // tail window doesn't need to spend. LAST match (a path like
+    val loadEnd = loadAvg()
+    val stealPct = (for {
+      (s1, t1) <- statStart
+      (s2, t2) <- cpuStat()
+      if t2 > t1
+    } yield (s2 - s1) * 100.0 / (t2 - t1)).getOrElse(-1.0)
+
+    // human/forensics channel: full 3-decimal spreads, "[bench] "-
+    // prefixed so no stderr line here can ever json-parse and shadow
+    // the metric line in the driver's tail window
+    def t3(ts: Seq[Double]): String =
+      s"[${BenchFormat.f3(ts.head)},${BenchFormat.f3(ts(ts.size / 2))},${BenchFormat.f3(ts.last)}]"
+    System.err.println(results.collect { case (k, Right(ts)) => s""""$k":${t3(ts)}""" }
+      .mkString("[bench] spread {", ",", "}"))
+
+    // numeric scale factor, not the dir path. LAST match (a path like
     // /data/sf2024/runs/sf0.1 must report 0.1), toDoubleOption guards
-    // trailing-dot captures from e.g. "sf0.1.snap", and the fallback
-    // is -1 so the field is ALWAYS a number (round-7 advice: a
-    // string-or-number union breaks downstream parsers of the archive;
-    // an unparseable dir is visible in the driver env anyway)
+    // trailing-dot captures, fallback -1 keeps the field a number.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir).toSeq.lastOption
       .map(_.group(1)).filter(_.toDoubleOption.isDefined)
       .getOrElse("-1")
-    // self-exonerating archive (round-7 verdict): the ratio-ranked
-    // `noisy` map on stderr missed the one key that decided
-    // done-vs-weak (most EXPENSIVE key's spread fell outside the
-    // driver's tail). So stdout now always carries [min,med,max] for
-    // the top-K most expensive keys — the keys a regression debate is
-    // ever about — plus the warm-up sentinel. K shrinks (5→0) only if
-    // the line would blow the 2000-char tail window.
-    val costly = results.collect { case (k, Right(ts)) => (k, ts) }.sortBy(-_._2.head)
-    val kMax = math.min(5, costly.size)
-    // `slow_dropped` lives INSIDE the stdout JSON (r9 regression: a
-    // separate stderr print landed in the driver's tail window ahead
-    // of the metric line and its machine-parsed field captured
-    // `{"slow_dropped":3}` instead of the metric object — one channel,
-    // one line, nothing to mis-parse).
-    def lineWith(k: Int): String = {
-      val slow = costly.take(k).map { case (key, ts) => s""""$key":${triple2(ts)}""" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":$sfNum,"n":$n,"warm":${f2(warmup)},"slow":$slow,""" +
-        s""""slow_dropped":${kMax - k},"failed":$failedJson}"""
-    }
-    // budget: the driver archives the last 2000 chars of COMBINED
-    // output; everything sharing that window with this line must fit:
-    //   7   sbt's "[info] " prefix on this line (r9 audit)
-    //   81  sbt trailer "[success] Total time: 1043 s (17:23)" worst
-    //       case: 4-digit seconds + 2-digit clock hour + margin
-    //   2   newlines around the trailer
-    // 2000 − 7 − 81 − 2 = 1910; round down to 1880 so a future ~30-char
-    // driver- or sbt-side addition can't re-clip the head (r8 lost
-    // metric/value to exactly this class of unbudgeted overhead).
-    val budget = 1880
-    val (_, line) = (kMax to 0 by -1).iterator.map(k => (k, lineWith(k)))
-      .find(_._2.length <= budget).getOrElse((0, lineWith(0)))
-    if (line.length > budget)
-      System.err.println(s"[bench] WARNING stdout line ${line.length} chars exceeds driver tail window")
-    println(line)
+
+    val lines = BenchFormat.lines(results, sfNum, n, warm3, (loadStart, loadEnd), stealPct)
+
+    // everything, unabridged, for post-hoc forensics
+    writeLastDump(results, sfNum, n, warm3, loadStart, loadEnd, stealPct)
+
+    // stdout first (driver contract line), then the compact parse
+    // target LAST on stderr — the tail window keeps the end of the
+    // combined output, and the flush+pause keeps the two pipes from
+    // interleaving out of print order
+    println(lines.full)
+    System.out.flush()
+    Thread.sleep(200)
+    System.err.println(lines.compact)
+    System.err.flush()
     spark.stop()
   }
+
+  /** dev/bench_last.json: every run time for every key, the sentinel
+    * triple, and both load readings — the unabridged record the 2000-
+    * char archive window cannot carry. Best-effort by design. */
+  private def writeLastDump(
+      results: Seq[(String, Either[String, Seq[Double]])],
+      sfNum: String, n: Int, warm3: Seq[Double],
+      loadStart: Double, loadEnd: Double, stealPct: Double): Unit =
+    try {
+      val per = results.map {
+        case (k, Right(ts)) =>
+          s"""    "$k": {"runs": ${ts.map(BenchFormat.f3).mkString("[", ", ", "]")}}"""
+        case (k, Left(m)) =>
+          s"""    "$k": {"error": "${m.replaceAll("[\"\\\\\n\r\t]", " ").take(200)}"}"""
+      }
+      val body =
+        s"""{
+           |  "sf": $sfNum,
+           |  "n": $n,
+           |  "warm3": ${warm3.map(BenchFormat.f2).mkString("[", ", ", "]")},
+           |  "load": [${BenchFormat.f2(loadStart)}, ${BenchFormat.f2(loadEnd)}],
+           |  "steal_pct": ${BenchFormat.f2(stealPct)},
+           |  "wall_utc_ms": ${System.currentTimeMillis()},
+           |  "keys": {
+           |${per.mkString(",\n")}
+           |  }
+           |}
+           |""".stripMargin
+      val p = java.nio.file.Paths.get("dev", "bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] bench_last.json not written: ${e.getMessage}")
+    }
 }

@@ -1,0 +1,153 @@
+package graft
+
+/** Pure construction of Bench's two output lines, separated from the
+  * timing loop so a spec can pin the size budgets without running Spark.
+  *
+  * WHY TWO LINES (round-11 forensics): the driver archives the last
+  * 2000 chars of combined sbt output and json-parses a line from that
+  * tail. Every round r5-r10 archived `parsed: null` because sbt's
+  * default fork OutputStrategy prefixes stdout with "[info] " and
+  * stderr with "[error] " — NO line ever parsed (r9's lone "parse" was
+  * a truncation that happened to cut inside "[error] ", leaving a bare
+  * `{`). build.sbt now forks with StdoutOutput so lines arrive raw —
+  * but the arithmetic still forbids ONE line carrying everything: 74
+  * key names alone are ~1158 chars, a full seconds-precision queries
+  * map ~1740, and the usable window behind sbt's "[success] Total
+  * time:" trailer is ~1920 — a named 5-key [min,med,max] spread
+  * (~170) cannot also fit. So:
+  *
+  *   - STDOUT, printed first: the driver-contract line
+  *     (metric/value/unit/queries/sf + n/warm/load/failed), queries in
+  *     seconds. Entries are ordered CHEAPEST-FIRST: when the tail
+  *     window clips this line it clips the head, so the keys that fall
+  *     off are exactly the sub-second ones a regression debate is
+  *     never about. The compact line bounds what was clipped.
+  *   - STDERR, printed last: a compact always-parseable line —
+  *     metric/value/unit/sf/n, warm sentinel as median-of-3 plus the
+  *     raw `warm3` triple, machine load at [start,end] of the run,
+  *     `slow` = named [min,med,max] for the top-5 most expensive keys,
+  *     `slow_dropped`, `hidden` = {n,max} count and value-bound of
+  *     full-line entries the window cannot show, and `failed` (capped).
+  *     This line is what `parsed` captures; it never self-trims
+  *     because its size is independent of the registry's key count.
+  *
+  * Float encoding: fixed 2-decimal, then trailing zeros stripped
+  * ("0.20"→"0.2", "1.00"→"1") — still valid JSON (leading digit kept),
+  * ~10-60 chars saved across 74 keys. Full 3-decimal spreads for every
+  * key still go to the human channel ("[bench] spread ..." on stderr,
+  * prefixed so they can never be mistaken for the metric line) and to
+  * dev/bench_last.json.
+  */
+object BenchFormat {
+  /** Driver archives the last 2000 chars of combined output. */
+  val TailWindow = 2000
+  /** Worst-case chars AFTER the compact line inside the window: sbt's
+    * "[success] Total time: 35640 s (9:54:00), completed <date>" plus
+    * surrounding newlines, rounded up. */
+  val TrailerWorst = 80
+
+  /** f"%.2f" with trailing zeros stripped; always keeps a leading digit
+    * so the token stays valid JSON. */
+  def f2(d: Double): String = strip(f"$d%.2f")
+  def f3(d: Double): String = f"$d%.3f"
+  private def strip(s: String): String =
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    } else s
+
+  def median(ts: Seq[Double]): Double =
+    if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+
+  /** [min,med,max] of an already-sorted run vector. */
+  private def triple(ts: Seq[Double]): String =
+    s"[${f2(ts.head)},${f2(ts(ts.size / 2))},${f2(ts.last)}]"
+
+  final case class Lines(full: String, compact: String, hiddenN: Int, hiddenMax: Double)
+
+  /** @param results  per-key sorted run times (Right) or first error (Left)
+    * @param sfNum    numeric scale factor as a string ("-1" if unknown)
+    * @param warm3    the three post-init q6 sentinel times, run order
+    * @param loads    (loadavg at start, loadavg at end)
+    * @param stealPct hypervisor CPU-steal %% across the run (-1 unknown) —
+    *                 loadavg can read idle while a shared host starves the
+    *                 guest; steal is the counter that convicts the box */
+  def lines(
+      results: Seq[(String, Either[String, Seq[Double]])],
+      sfNum: String,
+      n: Int,
+      warm3: Seq[Double],
+      loads: (Double, Double),
+      stealPct: Double): Lines = {
+    val ok = results.collect { case (k, Right(ts)) => (k, ts) }
+    val failed = results.collect { case (k, Left(_)) => k }
+    val total = ok.map(_._2.head).sum
+    val warmMed = median(warm3)
+
+    // full line: queries cheapest-first so window clipping eats the
+    // sub-second tail of the distribution, never the expensive keys
+    val ordered =
+      failed.sorted.map(k => (k, -1.0)) ++
+        ok.map { case (k, ts) => (k, ts.head) }.sortBy { case (k, t) => (t, k) }
+    val entries = ordered.map {
+      case (k, t) => s""""$k":${if (t < 0) "-1" else f2(t)}"""
+    }
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":$sfNum,"n":$n,"warm":${f2(warmMed)},""" +
+      s""""load":[${f2(loads._1)},${f2(loads._2)}],"failed":$failedJson}"""
+    val full = prefix + entries.mkString(",") + suffix
+
+    // compact line: the parse target; size independent of key count
+    val costly = ok.sortBy { case (k, ts) => (-ts.head, k) }.take(5)
+    val slow = costly.map { case (k, ts) => s""""$k":${triple(ts)}""" }
+      .mkString("{", ",", "}")
+    val failedCapped = failed.sorted.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedMore = math.max(0, failed.size - 8)
+    def compactWith(hiddenN: Int, hiddenMax: Double): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
+        s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}],""" +
+        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)},"slow":$slow,""" +
+        s""""slow_dropped":${math.min(5, ok.size) - costly.size}""" +
+        (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
+        (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""
+         else s""","failed":$failedCapped}""")
+
+    // hidden = full-line queries entries whose first char falls outside
+    // the tail window once the compact line + trailer are behind them.
+    // The compact line's own length moves the boundary by a few chars,
+    // so iterate to a fixed point (converges immediately in practice).
+    def clipped(compactLen: Int): (Int, Double) = {
+      val overflow = (full.length + 1) + (compactLen + 1) + (TrailerWorst + 1) - TailWindow
+      if (overflow <= 0) (0, 0.0)
+      else {
+        var off = prefix.length
+        var i = 0
+        var nHidden = 0
+        var maxV = 0.0
+        while (i < entries.size) {
+          if (off < overflow) {
+            nHidden += 1
+            maxV = math.max(maxV, ordered(i)._2)
+          }
+          off += entries(i).length + 1 // comma
+          i += 1
+        }
+        (nHidden, maxV)
+      }
+    }
+    var hid = (0, 0.0)
+    var compact = compactWith(hid._1, hid._2)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 4) {
+      val next = clipped(compact.length)
+      val nextLine = compactWith(next._1, next._2)
+      stable = nextLine == compact
+      hid = next
+      compact = nextLine
+      iter += 1
+    }
+    Lines(full, compact, hid._1, hid._2)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's output-line contract without running Spark.
+  *
+  * The driver archives the last 2000 chars of combined sbt output and
+  * json-parses a line out of that tail; r10 shipped a line 4 chars over
+  * its own budget and lost all five `slow` spreads in exactly the round
+  * with an 8× anomaly to adjudicate. These tests make the budgets a
+  * compile-gate: the compact stderr line (the parse target) must fit
+  * behind the worst-case sbt trailer at the CURRENT registry size and
+  * under worst-case timings, and the `hidden` accounting of the full
+  * line must balance its own arithmetic.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val keys = Registry.all.map(_.name).sorted
+
+  private def res(times: Map[String, Seq[Double]],
+                  failed: Set[String] = Set.empty): Seq[(String, Either[String, Seq[Double]])] =
+    keys.map { k =>
+      k -> (if (failed(k)) Left("boom"): Either[String, Seq[Double]]
+            else Right(times.getOrElse(k, Seq(0.11, 0.13, 0.19)).sorted))
+    }
+
+  private def mk(results: Seq[(String, Either[String, Seq[Double]])],
+                 sfNum: String, n: Int, warm3: Seq[Double],
+                 loads: (Double, Double)): BenchFormat.Lines =
+    BenchFormat.lines(results, sfNum, n, warm3, loads, stealPct = 1.25)
+
+  test("compact line fits the tail window behind a worst-case sbt trailer") {
+    // worst case: every key slow (wide values), n=7 spreads, 5 failures
+    val wide = keys.map(_ -> Seq(987.65, 991.0, 999.99)).toMap
+    val l = mk(res(wide, failed = keys.take(5).toSet),
+      sfNum = "100", n = 7, warm3 = Seq(99.99, 100.0, 101.55), loads = (31.99, 32.01))
+    assert(l.compact.length + BenchFormat.TrailerWorst + 2 <= BenchFormat.TailWindow,
+      s"compact line ${l.compact.length} chars cannot parse behind the sbt trailer")
+    // and with generous margin in the realistic case
+    val quiet = mk(res(Map.empty), "0.1", 3, Seq(0.2, 0.31, 0.3), (0.1, 0.2))
+    assert(quiet.compact.length < 700, s"compact grew to ${quiet.compact.length} chars")
+  }
+
+  test("both lines are valid JSON with the contract fields; slow carries 5 spreads undropped") {
+    val times = keys.zipWithIndex.map { case (k, i) =>
+      k -> Seq(0.1 + i * 0.07, 0.15 + i * 0.07, 0.3 + i * 0.07)
+    }.toMap
+    val l = mk(res(times), "0.1", 3, Seq(0.37, 0.4, 0.35), (0.14, 0.5))
+    val full = parse(l.full)
+    val compact = parse(l.compact)
+    for (f <- Seq("metric", "value", "unit", "queries", "sf", "n", "warm", "load", "failed"))
+      assert((full \ f) != JNothing, s"full line lacks $f")
+    assert((full \ "queries").asInstanceOf[JObject].obj.size == keys.size)
+    for (f <- Seq("metric", "value", "unit", "sf", "n", "warm", "warm3", "load",
+                  "steal", "slow", "slow_dropped", "failed"))
+      assert((compact \ f) != JNothing, s"compact line lacks $f")
+    val slow = (compact \ "slow").asInstanceOf[JObject].obj
+    assert(slow.size == 5, s"slow has ${slow.size} entries")
+    assert((compact \ "slow_dropped") == JInt(0))
+    // slow names the 5 most expensive keys, each with a [min,med,max] triple
+    val expensive = times.toSeq.sortBy(-_._2.min).take(5).map(_._1).toSet
+    assert(slow.map(_._1).toSet == expensive)
+    slow.foreach { case (k, v) =>
+      val t = v.asInstanceOf[JArray].arr.map(_.values.toString.toDouble)
+      assert(t.size == 3 && t(0) <= t(1) && t(1) <= t(2), s"$k triple $t")
+    }
+    assert((compact \ "warm3").asInstanceOf[JArray].arr.size == 3)
+  }
+
+  test("full line orders queries cheapest-first and hidden bounds exactly the clipped head") {
+    val times = keys.zipWithIndex.map { case (k, i) =>
+      k -> Seq(0.05 + i * 0.11, 0.06 + i * 0.11, 0.07 + i * 0.11)
+    }.toMap
+    val l = mk(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1))
+    val order = """"([a-z][a-z0-9_]*)":""".r.findAllMatchIn(
+      l.full.substring(l.full.indexOf("queries") + 10, l.full.indexOf("},\"sf\""))
+    ).map(_.group(1)).toSeq
+    assert(order == order.sortBy(k => times(k).min), "queries not cost-ascending")
+    // the hidden count must equal the entries whose start offset precedes
+    // the window overflow — recompute independently
+    val overflow = l.full.length + 1 + l.compact.length + 1 + BenchFormat.TrailerWorst + 1 -
+      BenchFormat.TailWindow
+    if (overflow > 0) {
+      val mapStart = l.full.indexOf("\"queries\":{") + "\"queries\":{".length
+      val starts = order.scanLeft(mapStart)((off, k) =>
+        off + s""""$k":${BenchFormat.f2(times(k).min)}""".length + 1).init
+      val expectHidden = starts.count(_ < overflow)
+      assert(l.hiddenN == expectHidden, s"hidden ${l.hiddenN} vs recomputed $expectHidden")
+      val expectMax = order.take(expectHidden).map(k => times(k).min).max
+      assert(math.abs(l.hiddenMax - expectMax) < 1e-9)
+      // the survivors include every key the spread debate could be about
+      assert(order.drop(expectHidden).map(k => times(k).min).min >= l.hiddenMax)
+    } else assert(l.hiddenN == 0)
+  }
+
+  test("stripped 2-decimal floats stay valid JSON tokens") {
+    assert(BenchFormat.f2(0.20) == "0.2")
+    assert(BenchFormat.f2(1.00) == "1")
+    assert(BenchFormat.f2(14.02) == "14.02")
+    assert(BenchFormat.f2(0.0) == "0")
+    for (v <- Seq(0.1, 0.25, 3.999, 10.0, 99.95, 1234.5))
+      assert(parse(s"""{"v":${BenchFormat.f2(v)}}""") != JNothing)
+  }
+
+  test("failed keys cap at 8 in the compact line and ride cheapest-first in full") {
+    val l = mk(res(Map.empty, failed = keys.take(12).toSet),
+      "0.01", 3, Seq(0.2, 0.2, 0.2), (0.1, 0.1))
+    val compact = parse(l.compact)
+    assert((compact \ "failed").asInstanceOf[JArray].arr.size == 8)
+    assert((compact \ "failed_more") == JInt(4))
+    val full = parse(l.full)
+    // all 12 still present in the full queries map, valued -1
+    val q = (full \ "queries").asInstanceOf[JObject].obj.toMap
+    keys.take(12).foreach(k => assert(q(k) == JInt(-1), s"$k"))
+  }
+}

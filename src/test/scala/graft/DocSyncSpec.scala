@@ -34,6 +34,13 @@ class DocSyncSpec extends AnyFunSuite {
       s"registry keys absent from SURVEY.md §2: ${missingFromDoc.toSeq.sorted.mkString(", ")}")
     assert(missingFromCode.isEmpty,
       s"SURVEY.md §2 keys absent from the registry: ${missingFromCode.toSeq.sorted.mkString(", ")}")
+    // the status prose states the total ("ALL <N> inventory keys") — r10
+    // shipped it one stale at 73 while the tables said 74; pin the number
+    // itself, not just the key set
+    val prose = """ALL ([0-9]+) inventory keys""".r.findFirstMatchIn(s2).map(_.group(1).toInt)
+    assert(prose.nonEmpty, "SURVEY.md §2 status prose no longer states 'ALL <N> inventory keys'")
+    assert(prose.get == shipped.size,
+      s"SURVEY.md §2 prose claims ${prose.get} keys; Registry.all has ${shipped.size}")
   }
 
   test("README totals match the build: registry key count and test count") {

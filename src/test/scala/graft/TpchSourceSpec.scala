@@ -109,6 +109,26 @@ class TpchSourceSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("DROP NAMESPACE tpch.sf1"))
   }
 
+  test("write-path DDL fails with the documented read-only message") {
+    // scaladoc claims "create / alter / drop / rename of tables or
+    // namespaces all fail with UnsupportedOperationException" — pin the
+    // message itself, not just that SOME exception surfaces (Spark wraps
+    // catalog errors, so walk the cause chain for the documented text)
+    spark.conf.set("spark.sql.catalog.tpch", "graft.sources.TpchCatalog")
+    def rootMsg(f: => Any): String = {
+      val e = intercept[Exception](f)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    val documented = "read-only: tables are generated, not stored"
+    assert(rootMsg(spark.sql("CREATE TABLE tpch.sf1.foo (x INT) USING parquet"))
+      .contains(documented))
+    assert(rootMsg(spark.sql("DROP NAMESPACE tpch.sf1")).contains(documented))
+    assert(rootMsg(spark.sql("DROP TABLE tpch.sf1.lineitem")).contains(documented))
+    assert(rootMsg(spark.sql("ALTER TABLE tpch.sf1.lineitem RENAME TO tpch.sf1.li2"))
+      .contains(documented))
+  }
+
   test("bad options fail at resolution with actionable messages") {
     def msgOf(f: => Any): String =
       intercept[Exception](f).getMessage
