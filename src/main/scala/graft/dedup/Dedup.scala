@@ -209,11 +209,19 @@ object Dedup {
     * ONE groupBy pass over the shingles — no ×K explode), banded 4×2;
     * docs sharing any band bucket become candidates; candidates are
     * verified with exact Jaccard ≥ 0.5. The signature is constant
-    * size, so at 100 TB the shuffle carries 8×16 bytes per doc rather
-    * than the full shingle set; band buckets are md5-uniform (no
-    * skew). Hash family: h_i(s) = substr(md5(i ⧺ '|' ⧺ s), 1, 16) —
-    * deterministic and identical in DuckDB, so the oracle replays the
-    * exact pipeline (bands included), not just the verify step. */
+    * size, so at 100 TB the shuffle carries the signature per doc
+    * rather than the full shingle set; band buckets are md5-uniform
+    * (no skew). Hash family (r11: 4× cheaper than the original
+    * one-md5-per-hash): TWO md5s per shingle, each split into four
+    * 8-hex-char (32-bit) pieces — h_{4j+k}(s) = substr(md5(j ⧺ '|' ⧺
+    * s), 1+8k, 8). Distinct pieces of one md5 are independent uniform
+    * functions of the shingle, which is all MinHash needs, and the
+    * md5 digest is computed once per (j, shingle) via codegen
+    * subexpression elimination instead of once per hash. 32-bit
+    * minima leave collision odds at ~n_shingles/2^32 per hash (the
+    * Jaccard verify step screens any stragglers). Deterministic and
+    * identical in DuckDB, so the oracle replays the exact pipeline
+    * (bands included), not just the verify step. */
   val minhashLsh: GQuery = GQuery(
     "dedup_minhash_lsh",
     (s, dir) => {
@@ -239,7 +247,8 @@ object Dedup {
     * pass over the shingles (no ×K explode), banded 4×2. */
   private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     val minhashes = (0 until MH_K).map(i =>
-      min(substring(md5(concat_ws("|", lit(i.toString), col("shingle"))), 1, 16)).as(s"h$i"))
+      min(substring(md5(concat_ws("|", lit((i / 4).toString), col("shingle"))),
+        1 + 8 * (i % 4), 8)).as(s"h$i"))
     val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     mh.select(col("doc_id"), posexplode(array(
       (0 until MH_K / 2).map(b => md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
@@ -283,7 +292,8 @@ object Dedup {
     * mirror of [[minhashBands]] + [[bandCandidates]]. */
   private[graft] lazy val minhashCandSql: String = s"""
       hashes AS (SELECT doc_id, i,
-                        substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 16) AS h
+                        substr(md5(CAST(i // 4 AS VARCHAR) || '|' || shingle),
+                               1 + 8 * (i % 4), 8) AS h
                  FROM sh, range($MH_K) t(i)),
       mh AS (SELECT doc_id,
                     min(CASE WHEN i = 0 THEN h END) AS h0, min(CASE WHEN i = 1 THEN h END) AS h1,
