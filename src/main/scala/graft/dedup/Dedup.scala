@@ -137,6 +137,71 @@ object Dedup {
       FROM documents GROUP BY md5(text)"""),
     tags = Set("dedup"))
 
+  // ----------------------------------------------------- paragraph/chunk
+
+  /** Words per paragraph-dedup chunk. The `documents` text carries no
+    * newline structure, so "paragraphs" are fixed windows of
+    * [[PARA_W]] consecutive words — the same normalization real
+    * pipelines apply to line/paragraph dedup when source formatting
+    * is unreliable. */
+  private[graft] val PARA_W = 24
+
+  /** Sub-document (paragraph-level) cross-doc dedup, C4-style: split
+    * every document into consecutive [[PARA_W]]-word chunks, find
+    * chunks that recur across documents, and drop every occurrence
+    * except the one in the lowest doc_id (the same keep-min policy as
+    * [[exact]]). Emits per-document accounting: total chunks, dropped
+    * chunks, surviving word count — the numbers a curation pipeline
+    * needs to rewrite the text and budget tokens.
+    *
+    * Scale shape: chunk ownership is ONE groupBy on md5(chunk)
+    * (16-byte uniform key, no skew); marking occurrences is an
+    * equi-join back on that hash whose build side carries exactly one
+    * row per distinct chunk, so a boilerplate chunk shared by B docs
+    * fans out to B rows — never B² — and AQE's skew split handles a
+    * hot hash partition because output ≤ input. The final per-doc
+    * rollup shuffles doc_id. No stage is quadratic in anything. */
+  /** Per-doc paragraph-dedup accounting over an arbitrary
+    * (doc_id, text) relation — the operator body of [[paragraph]]. */
+  private[graft] def paragraphStats(docs: DataFrame): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / $PARA_W.0) AS INT) - 1),
+                      i -> concat_ws(' ', slice(w, i * $PARA_W + 1, $PARA_W)))"""))
+        .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("n_words", size(split(col("chunk"), " ")).cast("long"))
+    val owners = ch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(owners, Seq("h"))
+      .withColumn("dropped", col("n_docs") > 1 && col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("dropped"), col("n_words")).otherwise(0L)).as("kept_words"))
+  }
+
+  val paragraph: GQuery = GQuery(
+    "dedup_paragraph",
+    (s, dir) => paragraphStats(Tables.documents(s, dir)),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ch AS (SELECT doc_id,
+                    md5(array_to_string(w[(i * $PARA_W + 1):(i * $PARA_W + $PARA_W)], ' ')) AS h,
+                    len(w[(i * $PARA_W + 1):(i * $PARA_W + $PARA_W)]) AS n_words
+             FROM toks, unnest(generate_series(0, CAST(ceil(len(w) / $PARA_W.0) AS INT) - 1)) AS t(i)),
+      owners AS (SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS n_docs
+                 FROM ch GROUP BY 1)
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             CAST(sum(CASE WHEN n_docs > 1 AND doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN n_docs > 1 AND doc_id <> keeper THEN 0 ELSE n_words END) AS BIGINT) AS kept_words
+      FROM ch JOIN owners USING (h)
+      GROUP BY 1"""),
+    tags = Set("dedup"))
+
   // ----------------------------------------------------- n-gram Jaccard
 
   /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5 over the
@@ -675,5 +740,5 @@ object Dedup {
     tags = Set("dedup"))
 
   def all: Seq[GQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding, semantic)
+    Seq(exact, paragraph, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding, semantic)
 }

@@ -104,5 +104,125 @@ object TrainingData {
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""),
     tags = Set("pipeline"))
 
-  def all: Seq[GQuery] = Seq(curateQuery)
+  // ------------------------------------------------- decontamination
+
+  /** N-gram width for benchmark decontamination. 5 consecutive words
+    * is long enough that chance collisions are negligible on natural
+    * text while still catching paraphrase-free leakage (the same
+    * rationale as the 8-13-gram windows used by published pipelines;
+    * this corpus's short word-soup docs need the lower end). */
+  private[graft] val DECON_N = 5
+
+  /** The source whose documents act as the held-out evaluation
+    * benchmark. Deterministic designation so the DuckDB oracle
+    * replays the exact split. */
+  private[graft] val BENCH_SOURCE = "src0"
+
+  /** Benchmark decontamination: for every training document (source ≠
+    * [[BENCH_SOURCE]]), count distinct [[DECON_N]]-word-grams it
+    * shares with ANY benchmark document, and flag docs with at least
+    * one hit. This is the standard eval-leakage scan a training
+    * pipeline runs before a corpus ships; zero-hit docs are emitted
+    * too (n_hits = 0) so the output is the full per-doc verdict, not
+    * just the offenders.
+    *
+    * Scale shape: the benchmark side is reduced to DISTINCT grams
+    * before the join, so every join key has multiplicity 1 on the
+    * build side — a corpus-wide stop-phrase fans out to its training
+    * occurrences (≤1 per doc via array_distinct) and never to a cross
+    * product; output ≤ left input, which is exactly the shape AQE's
+    * skew split can rebalance. Counting is a map-side-combinable
+    * groupBy(doc_id); attaching zero-hit docs is a left join on
+    * doc_id (unique on both sides). At 100 TB the benchmark gram set
+    * shuffles rather than broadcasts — same plan, no driver state. */
+  /** Distinct [[DECON_N]]-word-grams per doc of an arbitrary
+    * (doc_id, text) relation. */
+  private[graft] def decontGrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= DECON_N)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      s"transform(sequence(0, size(w) - $DECON_N), i -> concat_ws(' ', slice(w, i + 1, $DECON_N)))")))
+      .as("g"))
+
+  /** Per-training-doc contamination verdict given explicit train /
+    * benchmark relations — the operator body of [[decontaminate]]. */
+  private[graft] def decontaminateAgainst(train: DataFrame, bench: DataFrame): DataFrame = {
+    val benchGrams = decontGrams(bench).select(col("g")).distinct()
+    val hits = decontGrams(train)
+      .join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val decontaminate: GQuery = GQuery(
+    "pipeline_decontaminate",
+    (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      decontaminateAgainst(
+        docs.filter(col("source") =!= BENCH_SOURCE),
+        docs.filter(col("source") === BENCH_SOURCE))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i + ${DECON_N - 1}], ' ') AS g
+            FROM toks, unnest(generate_series(1, len(w) - ${DECON_N - 1})) AS t(i)
+            WHERE len(w) >= $DECON_N),
+      bg AS (SELECT DISTINCT g FROM g WHERE source = '$BENCH_SOURCE'),
+      hits AS (SELECT g.doc_id, count(*) AS hits
+               FROM g JOIN bg USING (g) WHERE g.source <> '$BENCH_SOURCE'
+               GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.source <> '$BENCH_SOURCE'"""),
+    tags = Set("pipeline"))
+
+  // ------------------------------------------------ stratified sampling
+
+  /** Per-language keep rates in permille for [[sampleStratified]] —
+    * the data-mixture knob (upsample-by-exclusion: head language
+    * capped at 50%, mid-resource kept at 25%, tail at 12.5%). Langs
+    * not listed fall back to [[DEFAULT_PERMILLE]]. */
+  private[graft] val SAMPLE_RATES: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 250, "fr" -> 250, "es" -> 125, "zh" -> 125)
+  private[graft] val DEFAULT_PERMILLE = 100
+
+  /** Deterministic stratified sampling for data mixing: keep a
+    * document iff a uniform hash bucket of its doc_id falls below its
+    * language's permille rate. Hash-based (md5 of the id, 24 bits →
+    * mod 1000) rather than RNG-based, so the sample is reproducible
+    * run-to-run, stable under partitioning changes, and replayable by
+    * the SQL oracle — the properties that make a 100 TB sample
+    * auditable. The rate lookup is a compiled-in when-chain (no join,
+    * no broadcast) and the whole operator is a per-row filter at the
+    * scan: zero shuffles, trivially linear. */
+  val sampleStratified: GQuery = GQuery(
+    "pipeline_sample_stratified",
+    (s, dir) => {
+      val rate = SAMPLE_RATES.foldLeft(lit(DEFAULT_PERMILLE)) {
+        case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      graft.sources.Tables.documents(s, dir)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+            lit(1000L)))
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    },
+    Some(s"""
+      SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000 AS bucket,
+               CASE ${SAMPLE_RATES.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+                    ELSE $DEFAULT_PERMILLE END AS permille
+        FROM documents)
+      WHERE bucket < permille"""),
+    tags = Set("pipeline"))
+
+  def all: Seq[GQuery] = Seq(curateQuery, decontaminate, sampleStratified)
 }

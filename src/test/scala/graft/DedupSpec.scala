@@ -190,4 +190,26 @@ class DedupSpec extends SparkSpecBase {
     assert(exact.nonEmpty)
     assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size}")
   }
+
+  test("paragraph dedup drops repeated chunks everywhere but the min doc_id") {
+    // doc 1 and doc 2 share their first 24-word chunk verbatim; doc 2's
+    // second chunk is unique; doc 3 is entirely unique
+    val shared = (1 to 24).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> shared,
+      2L -> (shared + " " + (1 to 24).map(i => s"u$i").mkString(" ")),
+      3L -> "solo text only")
+    val got = Dedup.paragraphStats(d).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 keeps its chunk (min doc_id); doc 2 loses the shared chunk
+    // but keeps its unique one; doc 3 untouched
+    assert(got.toSeq == Seq((1L, 1L, 0L, 24L), (2L, 2L, 1L, 24L), (3L, 1L, 0L, 3L)))
+  }
+
+  test("paragraph dedup word accounting is exact when nothing is duplicated") {
+    // 60 words -> chunks of 24/24/12; all unique so kept_words == 60
+    val d = docs(7L -> (1 to 60).map(i => s"x$i").mkString(" "))
+    val r = Dedup.paragraphStats(d).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 0L, 60L)))
+  }
 }

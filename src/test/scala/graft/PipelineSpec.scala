@@ -37,4 +37,55 @@ class PipelineSpec extends SparkSpecBase {
     assert(rawSelfJoin.findFirstIn(plan).isEmpty,
       "raw shingle self-join found in curate plan")
   }
+
+  test("decontamination flags exactly the docs sharing a benchmark n-gram, zeros included") {
+    import TestSession.spark.implicits._
+    val leakRun = (1 to 5).map(i => s"b$i").mkString(" ") // one shared 5-gram
+    val bench = Seq((100L, s"$leakRun bench tail words here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $leakRun suffix"), // contaminated
+      (2L, "totally clean document text with enough words"),
+      (3L, "tiny")) // < 5 words: no grams, still emitted with 0
+      .toDF("doc_id", "text")
+    val got = TrainingData.decontaminateAgainst(train, bench)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("decontamination on the real corpus finds the planted near-dups and nothing like all docs") {
+    val got = SparkEntry.queries("pipeline_decontaminate")(spark, TestSession.sfDir01).cache()
+    val flagged = got.filter(col("contaminated")).count()
+    val total = got.count()
+    assert(flagged > 0, "no contamination found — the planted dups should leak")
+    assert(flagged < total / 10, s"$flagged of $total flagged — 5-gram window too loose")
+    got.unpersist()
+  }
+
+  test("stratified sample is deterministic, honors per-lang rates, and keeps bucket < rate") {
+    val dir = TestSession.sfDir01
+    val a = SparkEntry.queries("pipeline_sample_stratified")(spark, dir)
+    val b = SparkEntry.queries("pipeline_sample_stratified")(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0) // reproducible
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TrainingData.SAMPLE_RATES.foreach { case (lang, permille) =>
+      val n = perLang(lang).toDouble
+      val expect = n * permille / 1000.0
+      val gotN = kept.getOrElse(lang, 0L).toDouble
+      // md5 buckets are uniform; allow ~4 sigma of binomial noise
+      val sigma = math.sqrt(n * (permille / 1000.0) * (1 - permille / 1000.0))
+      assert(math.abs(gotN - expect) <= 4 * sigma + 1,
+        s"$lang: kept $gotN of $n, expected ~$expect (rate $permille permille)")
+    }
+    // the emitted bucket really is below the lang's rate on every row
+    val rates = TrainingData.SAMPLE_RATES.toMap
+    val bad = a.collect().count { r =>
+      r.getLong(2) >= rates.getOrElse(r.getString(1), TrainingData.DEFAULT_PERMILLE).toLong
+    }
+    assert(bad == 0, s"$bad rows with bucket >= their lang rate")
+  }
 }
