@@ -224,5 +224,63 @@ object TrainingData {
       WHERE bucket < permille"""),
     tags = Set("pipeline"))
 
-  def all: Seq[GQuery] = Seq(curateQuery, decontaminate, sampleStratified)
+  // ------------------------------------------------- sequence packing
+
+  /** Token budget per training pack: consecutive documents fill a pack
+    * until the running token count crosses this boundary. */
+  private[graft] val PACK_BUDGET = 1024L
+
+  /** Documents per packing shard. Packing needs an ordered running
+    * sum; partitioning that window by (source, doc_id DIV
+    * [[PACK_SHARD_DOCS]]) bounds every window to a fixed document
+    * count, so window parallelism GROWS with the corpus instead of
+    * being capped at the number of sources — the difference between a
+    * plan that packs 100 TB and one that funnels it through a handful
+    * of window partitions. */
+  private[graft] val PACK_SHARD_DOCS = 10000L
+
+  /** Training-sequence packing: assign every document to a pack
+    * (training batch) by streaming-fill — within each (source, shard),
+    * walk docs in doc_id order accumulating whitespace-token counts
+    * and start a new pack each time the running sum crosses a
+    * [[PACK_BUDGET]] boundary (pack = exclusive-prefix-sum DIV
+    * budget, the classic contiguous-fill rule). Deterministic — no
+    * RNG, no partition-order dependence — so the pack layout is
+    * reproducible and the DuckDB oracle replays it exactly.
+    * `pack_id` is globally unique: shard × 10⁶ + local pack. */
+  /** Pack assignment over an arbitrary (doc_id, source, text)
+    * relation — the operator body of [[packSequences]]. */
+  private[graft] def packOf(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs.select(
+        col("doc_id"), col("source"),
+        expr(s"doc_id DIV $PACK_SHARD_DOCS").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          (col("shard") * 1000000L +
+            expr(s"(cum - n_tokens) DIV $PACK_BUDGET")).as("pack_id"))
+  }
+
+  val packSequences: GQuery = GQuery(
+    "pipeline_pack_sequences",
+    (s, dir) => packOf(graft.sources.Tables.documents(s, dir)),
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                        doc_id // $PACK_SHARD_DOCS AS shard,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+                                          ORDER BY doc_id) AS cum FROM t)
+      SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(shard * 1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS pack_id
+      FROM c"""),
+    tags = Set("pipeline"))
+
+  def all: Seq[GQuery] =
+    Seq(curateQuery, decontaminate, sampleStratified, packSequences)
 }

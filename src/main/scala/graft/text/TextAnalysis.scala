@@ -245,5 +245,72 @@ object TextAnalysis {
       FROM wl GROUP BY 1"""),
     tags = Set("text"))
 
-  def all: Seq[GQuery] = Seq(tokens, quality, langid, fingerprint, rarity, lmScore)
+  // ------------------------------------------------------- repetition
+
+  /** A doc is flagged repetitive when its most frequent word-2-gram
+    * covers ≥ 1/[[REP_TOP_DIV]] of all its 2-grams — the Gopher-rule
+    * threshold expressed in integer math so the oracle hash-matches. */
+  private[graft] val REP_TOP_DIV = 4
+
+  /** Gopher-style repetition scoring: per document, the total /
+    * distinct / top-frequency word-2-gram counts and a `repetitive`
+    * flag (top 2-gram ≥ 25% of all 2-grams). Boilerplate and
+    * template spam score high; natural text scores low. Docs with
+    * fewer than two words are emitted with zero counts so the output
+    * stays a full per-doc verdict.
+    *
+    * Scale shape: one shuffle on (doc_id, gram) for the per-gram
+    * counts, one map-side-combinable rollup on doc_id — both keyed by
+    * doc_id so a hot corpus-wide gram never concentrates (the count
+    * key includes the doc); the final left join attaches zero-gram
+    * docs on the unique doc_id. Linear at any corpus size. */
+  /** Per-doc repetition stats over an arbitrary (doc_id, text)
+    * relation — the operator body of [[repetition]]. */
+  private[graft] def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+          .as("g"))
+      val stats = grams.groupBy(col("doc_id"), col("g")).count()
+        .groupBy(col("doc_id"))
+        .agg(sum(col("count")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("count")).as("top_n"))
+      docs.select(col("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("top_n"), lit(0L)).as("top_n"),
+          (coalesce(col("n_grams"), lit(0L)) > 0 &&
+            coalesce(col("top_n"), lit(0L)) * REP_TOP_DIV >= coalesce(col("n_grams"), lit(0L)))
+            .as("repetitive"))
+  }
+
+  val repetition: GQuery = GQuery(
+    "text_repetition",
+    (s, dir) => repetitionStats(Tables.documents(s, dir)),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS g
+            FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2),
+      c AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY 1, 2),
+      s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(n) AS BIGINT) AS top_n
+            FROM c GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(s.n_grams, 0) AS n_grams,
+             coalesce(s.n_distinct, 0) AS n_distinct,
+             coalesce(s.top_n, 0) AS top_n,
+             coalesce(s.n_grams, 0) > 0 AND
+               coalesce(s.top_n, 0) * $REP_TOP_DIV >= coalesce(s.n_grams, 0) AS repetitive
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""),
+    tags = Set("text"))
+
+  def all: Seq[GQuery] =
+    Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition)
 }

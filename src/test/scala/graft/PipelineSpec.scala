@@ -62,6 +62,48 @@ class PipelineSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("sequence packing streaming-fills per (source, shard) and never skips a pack") {
+    import TestSession.spark.implicits._
+    // 5 docs of 400 tokens each in one source/shard: budget 1024 →
+    // exclusive prefix sums 0,400,800,1200,1600 → packs 0,0,0,1,1
+    val text = (1 to 400).map(i => s"t$i").mkString(" ")
+    val d = (0L to 4L).map(i => (i, "srcA", text)).toDF("doc_id", "source", "text")
+    val got = TrainingData.packOf(d).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(got.toSeq == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // shards are independent fills: doc_ids straddling the shard width
+    // restart at local pack 0 with the shard baked into pack_id
+    val wide = Seq(
+      (TrainingData.PACK_SHARD_DOCS - 1, "srcA", text),
+      (TrainingData.PACK_SHARD_DOCS, "srcA", text)).toDF("doc_id", "source", "text")
+    val w = TrainingData.packOf(wide).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(2), r.getLong(4)))
+    assert(w.toSeq == Seq(0L -> 0L, 1L -> 1000000L))
+  }
+
+  test("packing on the real corpus: packs are contiguous doc ranges that respect the budget") {
+    val got = SparkEntry.queries("pipeline_pack_sequences")(spark, TestSession.sfDir01)
+    // within each pack, the token sum before the LAST doc stays under
+    // budget (the last doc may overflow the boundary — streaming fill)
+    val perPack = got.groupBy(col("source"), col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tok"),
+        expr("max_by(n_tokens, doc_id)").as("last_tok"),
+        count(lit(1)).as("n"))
+    val over = perPack
+      .filter(col("tok") - col("last_tok") >= TrainingData.PACK_BUDGET && col("n") > 1)
+      .count()
+    assert(over == 0, s"$over packs whose fill (minus one doc) already exceeded the budget")
+    // pack ids within a (source, shard) are dense from 0
+    val gaps = got.select(col("source"), col("shard"),
+        (col("pack_id") - col("shard") * 1000000L).as("local"))
+      .groupBy(col("source"), col("shard"))
+      .agg(min(col("local")).as("lo"), max(col("local")).as("hi"),
+        countDistinct(col("local")).as("d"))
+      .filter(col("lo") =!= 0L || col("d") =!= col("hi") + 1L)
+      .count()
+    assert(gaps == 0, s"$gaps (source, shard) groups with non-dense pack ids")
+  }
+
   test("stratified sample is deterministic, honors per-lang rates, and keeps bucket < rate") {
     val dir = TestSession.sfDir01
     val a = SparkEntry.queries("pipeline_sample_stratified")(spark, dir)

@@ -30,6 +30,22 @@ class TextSpec extends SparkSpecBase {
     assert(jac(m1(1), m1(4)) <= 0.1, s"unrelated overlap ${jac(m1(1), m1(4))}")
   }
 
+  test("repetition scoring flags template spam and passes varied text, zeros for short docs") {
+    import TestSession.spark.implicits._
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"), // top 2-gram "buy now" = 4/7 > 1/4
+      (2L, "a fresh take on distributed windowed aggregation semantics"), // all distinct
+      (3L, "one")) // < 2 words: zero counts, not repetitive
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.repetitionStats(d)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 2L, 4L, true), // grams: buy-now ×4, now-buy ×3
+      (2L, 7L, 7L, 1L, false),
+      (3L, 0L, 0L, 0L, false)))
+  }
+
   test("text_fingerprint output shape on the documents table") {
     val got = SparkEntry.queries("text_fingerprint")(spark, sfDir)
     val rows = got.collect()
