@@ -479,6 +479,129 @@ object Dedup {
       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HAM_T"""),
     tags = Set("dedup"))
 
+  // ------------------------------------------- dup clusters (components)
+
+  /** Iteration cap for [[componentsOf]]. Neighbor-min propagation
+    * alternated with pointer jumping halves label-chain depth every
+    * round, so convergence is O(log n) even on the pathological path
+    * graphs the over-cap successor chains produce — 30 rounds covers
+    * corpora far beyond 2³⁰ documents. */
+  private[graft] val CC_MAX_ROUNDS = 30
+
+  /** Connected components over an undirected near-dup edge list:
+    * every vertex ends labeled with the smallest doc_id reachable
+    * from it — the canonical dup-cluster id a curation pipeline keys
+    * its keep-one-per-cluster decision on.
+    *
+    * Algorithm: alternate (a) neighbor-min label propagation with
+    * (b) pointer jumping (label ← label's own label). (a) alone needs
+    * O(diameter) rounds — fatal on the path-shaped clusters the
+    * over-cap bucket chains emit; (b) halves pointer-chain depth each
+    * round, giving O(log n) total. Each round is two equi-joins and a
+    * map-side-combinable min — all shuffles keyed on doc_id/label,
+    * no stage quadratic. The per-round convergence probe
+    * (`isEmpty` on the changed-labels frame) is a driver-side
+    * CONTROL-FLOW inspection of an aggregate, not a data collect —
+    * the same contract as ivfBalanced's size check. The fixpoint
+    * (component = min reachable id) is unique, so the result is
+    * deterministic regardless of how many rounds ran — which is what
+    * lets an ahead-of-time recursive-SQL oracle replay it. */
+  private[graft] def componentsOf(verts: DataFrame, edges: DataFrame): DataFrame = {
+    val und = graft.Caches.persistTracked(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // each round derives `next` from the previous labels TWICE (the
+    // pointer jump is a self-join), so without truncation the logical
+    // plan doubles per round and Catalyst planning dies around round
+    // 25-30. localCheckpoint (eager) is Spark's API for exactly this:
+    // it materialises the round and replaces the plan with a leaf.
+    // On a multi-executor cluster the same call holds — it caches on
+    // executors; a deployment that must survive executor loss would
+    // set a reliable checkpoint dir and use checkpoint() instead.
+    var labels = verts.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < CC_MAX_ROUNDS) {
+      val nbrMin = und.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("nmin"))
+      val stepped = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      val ptr = stepped.select(col("doc_id").as("p_doc"), col("component").as("p_lab"))
+      val next = stepped.join(ptr, col("component") === col("p_doc"), "left")
+        .select(col("doc_id"), coalesce(col("p_lab"), col("component")).as("component"))
+        .localCheckpoint()
+      done = next.withColumnRenamed("component", "c_next")
+        .join(labels, Seq("doc_id"))
+        .filter(col("c_next") =!= col("component"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(done, s"componentsOf did not converge in $CC_MAX_ROUNDS rounds")
+    labels
+  }
+
+  /** Dup-cluster assignment for EVERY document: connected components
+    * of the [[simhashPairs]] near-dup graph (singletons are their own
+    * cluster), component id = min doc_id in the cluster, plus the
+    * `is_rep` keep-flag (true for exactly one doc per cluster). The
+    * DuckDB oracle replays the full chain — signatures, banding,
+    * capped candidates, hamming verify, then transitive closure via a
+    * recursive CTE — so the hash check covers the graph algorithm,
+    * not just the edge list. */
+  val components: GQuery = GQuery(
+    "dedup_components",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = simhashPairs.build(s, dir).select(col("doc_a"), col("doc_b"))
+      componentsOf(docs.select(col("doc_id")), edges)
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("is_rep"))
+    },
+    Some(s"""
+      WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, t AS tok
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                    WHERE length(t) > 0),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM toks),
+      bits AS (SELECT doc_id, i,
+                      sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM th, range(48) t(i) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1),
+      bands AS (SELECT doc_id, simhash, b AS band, (simhash >> (12 * b)) & 4095 AS bkey
+                FROM sig, range(4) t(b)),
+      bsz AS (SELECT band, bkey, count(*) AS bsize FROM bands GROUP BY 1, 2),
+      bandss AS (SELECT b.*, bsize FROM bands b JOIN bsz USING (band, bkey)),
+      cand_small AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                     FROM bandss x JOIN bandss y
+                       ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+                     WHERE x.bsize <= $BUCKET_CAP),
+      cand_chain AS (SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+                     FROM (SELECT doc_id,
+                                  lead(doc_id) OVER (PARTITION BY band, bkey
+                                                     ORDER BY simhash, doc_id) AS nxt
+                           FROM bandss WHERE bsize > $BUCKET_CAP)
+                     WHERE nxt IS NOT NULL),
+      cand AS (SELECT DISTINCT doc_a, doc_b FROM
+               (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_chain)),
+      pairs AS (SELECT doc_a, doc_b
+                FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                          JOIN sig sb ON doc_b = sb.doc_id
+                WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HAM_T),
+      und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS doc, doc_id AS lab FROM documents
+        UNION
+        SELECT u.b AS doc, r.lab FROM reach r JOIN und u ON u.a = r.doc
+      )
+      SELECT doc AS doc_id, min(lab) AS component, min(lab) = doc AS is_rep
+      FROM reach GROUP BY doc"""),
+    tags = Set("dedup"))
+
   /** (doc_id, simhash, band0..band3) — reusable signature builder. */
   private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -740,5 +863,6 @@ object Dedup {
     tags = Set("dedup"))
 
   def all: Seq[GQuery] =
-    Seq(exact, paragraph, ngramJaccard, minhashLsh, simhash, simhashPairs, embedding, semantic)
+    Seq(exact, paragraph, ngramJaccard, minhashLsh, simhash, simhashPairs,
+      components, embedding, semantic)
 }

@@ -191,6 +191,47 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("components labels every doc with its cluster min, singletons included") {
+    import TestSession.spark.implicits._
+    val verts = (1L to 7L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsOf(verts, edges).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("components converges fast on a path graph (pointer jumping, not O(diameter))") {
+    import TestSession.spark.implicits._
+    // a 64-long chain: plain neighbor-min needs 63 rounds; the
+    // CC_MAX_ROUNDS=30 cap only passes if pointer jumping is doing
+    // its O(log n) job
+    val n = 64L
+    val verts = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsOf(verts, edges).collect()
+    assert(got.forall(_.getLong(1) == 1L), "chain did not collapse to one component")
+  }
+
+  test("dedup_components on the corpus is a consistent partition over the simhash pair graph") {
+    val comp = SparkEntry.queries("dedup_components")(spark, sfDir).cache()
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    // every near-dup edge's endpoints share a component
+    val cA = comp.select(col("doc_id").as("doc_a"), col("component").as("comp_a"))
+    val cB = comp.select(col("doc_id").as("doc_b"), col("component").as("comp_b"))
+    val split = pairs.join(cA, "doc_a").join(cB, "doc_b")
+      .filter(col("comp_a") =!= col("comp_b")).count()
+    assert(split == 0, s"$split edges cross components")
+    // component ids are real members, and is_rep marks exactly one per cluster
+    val badRep = comp.groupBy(col("component"))
+      .agg(sum(when(col("is_rep"), 1L).otherwise(0L)).as("reps"),
+        min(col("doc_id")).as("lo"))
+      .filter(col("reps") =!= 1L || col("lo") =!= col("component")).count()
+    assert(badRep == 0, s"$badRep clusters with bad rep/min invariants")
+    comp.unpersist()
+  }
+
   test("paragraph dedup drops repeated chunks everywhere but the min doc_id") {
     // doc 1 and doc 2 share their first 24-word chunk verbatim; doc 2's
     // second chunk is unique; doc 3 is entirely unique
