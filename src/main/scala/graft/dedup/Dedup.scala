@@ -507,9 +507,21 @@ object Dedup {
     * deterministic regardless of how many rounds ran — which is what
     * lets an ahead-of-time recursive-SQL oracle replay it. */
   private[graft] def componentsOf(verts: DataFrame, edges: DataFrame): DataFrame = {
+    // undirected edges PLUS a self-loop per edge-vertex: the self-loop
+    // folds "min with my own label" into the same neighbor-min
+    // aggregate, so each round is ONE join+agg instead of join+agg
+    // followed by a left-join back — a third fewer stages per round,
+    // which is what dominates an overhead-bound iterative loop.
+    val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val und = graft.Caches.persistTracked(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      dir.union(dir.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))))
+    // iterate ONLY over edge-incident vertices: singleton docs never
+    // change label, and on a real corpus the near-dup graph is a small
+    // fraction of the documents — the loop should pay per EDGE VERTEX,
+    // not per document. Singletons rejoin at the end via a left join.
+    //
     // each round derives `next` from the previous labels TWICE (the
     // pointer jump is a self-join), so without truncation the logical
     // plan doubles per round and Catalyst planning dies around round
@@ -518,29 +530,44 @@ object Dedup {
     // On a multi-executor cluster the same call holds — it caches on
     // executors; a deployment that must survive executor loss would
     // set a reliable checkpoint dir and use checkpoint() instead.
-    var labels = verts.select(col("doc_id"), col("doc_id").as("component"))
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
+    // convergence probe: labels are initialized to own id and only
+    // ever DECREASE (min over a set containing the current label), so
+    // a round changed something iff sum(component) strictly dropped.
+    // decimal(38,0) keeps the sum exact out to ~10³⁸ — no silent long
+    // overflow at any corpus size — and the probe is a partial-agg
+    // scalar on the cached round, far cheaper than the change-count
+    // join it replaces.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var done = labels.isEmpty // no edges → nothing to iterate
+    var prevSum = if (done) null else checksum(labels)
     var round = 0
-    var done = false
     while (!done && round < CC_MAX_ROUNDS) {
-      val nbrMin = und.join(labels, col("src") === col("doc_id"))
-        .groupBy(col("dst")).agg(min(col("component")).as("nmin"))
-      val stepped = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // neighbor-min INCLUDING self via the self-loops; covers every
+      // edge-vertex, so no left-join backfill is needed
+      val stepped = und.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("component"))
+        .withColumnRenamed("dst", "doc_id")
+      // pointer jump: labels are doc_ids of edge-vertices, so the
+      // lookup always hits — inner join, no coalesce
       val ptr = stepped.select(col("doc_id").as("p_doc"), col("component").as("p_lab"))
-      val next = stepped.join(ptr, col("component") === col("p_doc"), "left")
-        .select(col("doc_id"), coalesce(col("p_lab"), col("component")).as("component"))
+      val next = stepped.join(ptr, col("component") === col("p_doc"))
+        .select(col("doc_id"), col("p_lab").as("component"))
         .localCheckpoint()
-      done = next.withColumnRenamed("component", "c_next")
-        .join(labels, Seq("doc_id"))
-        .filter(col("c_next") =!= col("component"))
-        .isEmpty
+      val s = checksum(next)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }
     require(done, s"componentsOf did not converge in $CC_MAX_ROUNDS rounds")
-    labels
+    System.err.println(s"[components] converged in $round rounds")
+    verts.select(col("doc_id"))
+      .join(labels.withColumnRenamed("component", "c"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
   }
 
   /** Dup-cluster assignment for EVERY document: connected components

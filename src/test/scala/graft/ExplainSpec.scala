@@ -49,6 +49,31 @@ class ExplainSpec extends SparkSpecBase {
       s"expected >=2 cached band scans (signBands must compute once), got ${inMemoryScans(p)}\n${p.take(2000)}")
   }
 
+  test("pipeline_sample_stratified: zero exchanges — the sample is a pure scan-side filter") {
+    val p = plan("pipeline_sample_stratified")
+    assert(!p.contains("Exchange"),
+      s"stratified sampling must not shuffle (per-row hash filter at the scan)\n${p.take(2000)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "rate lookup must be a compiled when-chain, not a join")
+  }
+
+  test("pipeline_pack_sequences: one window over (source, shard), no global single-partition sort") {
+    val p = plan("pipeline_pack_sequences")
+    // a global window (empty partition spec) would plan Exchange
+    // SinglePartition — the shape that caps packing at one thread
+    assert(!p.contains("SinglePartition"),
+      s"packing window collapsed to a single partition\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("dedup_paragraph and pipeline_decontaminate: equi-joins only, no nested loop") {
+    for (k <- Seq("dedup_paragraph", "pipeline_decontaminate")) {
+      val p = plan(k)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$k: ${p.take(1500)}")
+    }
+  }
+
   test("pipeline_curate: exact dedup is one min_by aggregate, no dedup self-join") {
     val p = SparkEntry.queries("pipeline_curate")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
