@@ -547,14 +547,21 @@ object Dedup {
     var round = 0
     while (!done && round < CC_MAX_ROUNDS) {
       // neighbor-min INCLUDING self via the self-loops; covers every
-      // edge-vertex, so no left-join backfill is needed
+      // edge-vertex, so no left-join backfill is needed. Checkpointed
+      // so the pointer-jump self-join below reads it once from cache
+      // instead of recomputing the join+agg for each side.
       val stepped = und.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("component")).as("component"))
         .withColumnRenamed("dst", "doc_id")
-      // pointer jump: labels are doc_ids of edge-vertices, so the
-      // lookup always hits — inner join, no coalesce
+        .localCheckpoint()
+      // pointer jump TWICE: labels are doc_ids of edge-vertices, so
+      // the lookup always hits — inner joins, no coalesce. Two jumps
+      // quarter the pointer-chain depth per round for two cheap
+      // self-joins on the small cached label frame.
       val ptr = stepped.select(col("doc_id").as("p_doc"), col("component").as("p_lab"))
-      val next = stepped.join(ptr, col("component") === col("p_doc"))
+      val j1 = stepped.join(ptr, col("component") === col("p_doc"))
+        .select(col("doc_id"), col("p_lab").as("component"))
+      val next = j1.join(ptr, col("component") === col("p_doc"))
         .select(col("doc_id"), col("p_lab").as("component"))
         .localCheckpoint()
       val s = checksum(next)
