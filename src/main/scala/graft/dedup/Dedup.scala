@@ -430,23 +430,34 @@ object Dedup {
     * signatures, banding, candidates and verify exactly. Constant
     * 8-byte signature per doc — like [[minhashLsh]], a shape whose
     * shuffle width is independent of document size. */
-  val simhashPairs: GQuery = GQuery(
-    "dedup_simhash_pairs",
-    (s, dir) => {
-      val sigs = simhashSignatures(Tables.documents(s, dir))
+  /** The [[simhashPairs]] body over a prebuilt signature frame —
+    * reusable so [[components]] can share one signature pass. `carry`
+    * names extra `sigs` columns to ride through the verify joins as
+    * `a_<c>` / `b_<c>` (free — the joins happen anyway), so callers
+    * don't pay two more joins to re-attach per-endpoint metadata. */
+  private[graft] def simhashPairsFrom(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
       val bands = sigs.select(col("doc_id"), col("simhash"), posexplode(array(
         (0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "bkey")))
       val h = bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).cast("long")
+      val sa = sigs.select(col("doc_id") +: col("simhash") +:
+        carry.map(c => col(c).as(s"a_$c")): _*).as("sa")
+      val sb = sigs.select(col("doc_id") +: col("simhash") +:
+        carry.map(c => col(c).as(s"b_$c")): _*).as("sb")
       // chain over-cap buckets in SIGNATURE order: simhash's 12-bit
       // buckets over-cap from random collisions at scale, and only a
       // signature-sorted chain keeps signature-equal docs adjacent
       bandCandidates(bands, chainOrder = Seq(col("simhash")))
-        .join(sigs.select(col("doc_id"), col("simhash")).as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sigs.select(col("doc_id"), col("simhash")).as("sb"), col("doc_b") === col("sb.doc_id"))
+        .join(sa, col("doc_a") === col("sa.doc_id"))
+        .join(sb, col("doc_b") === col("sb.doc_id"))
         .withColumn("hamming", h)
         .filter(col("hamming") <= HAM_T)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-    },
+        .select(col("doc_a") +: col("doc_b") +: col("hamming") +:
+          carry.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
+  }
+
+  val simhashPairs: GQuery = GQuery(
+    "dedup_simhash_pairs",
+    (s, dir) => simhashPairsFrom(simhashSignatures(Tables.documents(s, dir))),
     Some(s"""
       WITH toks AS (SELECT DISTINCT doc_id, t AS tok
                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -589,8 +600,28 @@ object Dedup {
     "dedup_components",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val edges = simhashPairs.build(s, dir).select(col("doc_a"), col("doc_b"))
-      componentsOf(docs.select(col("doc_id")), edges)
+      val sigs = simhashSignatures(docs)
+      // CONTRACT equal signatures before iterating: same-sig docs are
+      // always transitively connected in the pair graph (they share
+      // every band bucket, the over-cap chain sorts by signature so
+      // they sit adjacent, and their hamming is 0), so collapsing
+      // each signature group to its min doc_id preserves components
+      // EXACTLY while deleting the duplicate masses whose chains
+      // drive both the round count and the iterated frame size —
+      // the sf1 anchor measured 14 rounds / 128 s uncontracted.
+      val repW = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+      val docRep = graft.Caches.persistTracked(
+        sigs.select(col("doc_id"), col("simhash"),
+          col("band0"), col("band1"), col("band2"), col("band3"),
+          min(col("doc_id")).over(repW).as("rep")))
+      val contracted = simhashPairsFrom(docRep, carry = Seq("rep"))
+        .filter(col("a_rep") =!= col("b_rep"))
+        .select(least(col("a_rep"), col("b_rep")).as("doc_a"),
+          greatest(col("a_rep"), col("b_rep")).as("doc_b"))
+        .distinct()
+      val comp = componentsOf(docRep.select(col("rep").as("doc_id")).distinct(), contracted)
+      docRep
+        .join(comp.select(col("doc_id").as("rep"), col("component")), Seq("rep"))
         .select(col("doc_id"), col("component"),
           (col("doc_id") === col("component")).as("is_rep"))
     },

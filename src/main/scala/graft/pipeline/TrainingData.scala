@@ -5,9 +5,15 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** End-to-end training-data curation — the composition a real corpus
-  * pipeline runs, built from the engine's own operators so the whole
-  * chain stays one declarative Catalyst plan:
+/** The corpus-level stages of a training-data pipeline: end-to-end
+  * curation ([[curateQuery]]), benchmark decontamination
+  * ([[decontaminate]]), deterministic stratified sampling for data
+  * mixing ([[sampleStratified]]), and training-sequence packing
+  * ([[packSequences]]).
+  *
+  * Curation is the composition a real corpus pipeline runs, built
+  * from the engine's own operators so the whole chain stays one
+  * declarative Catalyst plan:
   *
   *   quality gate → language gate → exact dedup → near-dup removal
   *
