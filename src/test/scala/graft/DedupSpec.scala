@@ -191,6 +191,18 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == exact, s"missed ${(exact -- lsh).size} of ${exact.size}")
   }
 
+  test("simhashPairsFrom carry columns ride the verify joins per endpoint") {
+    // two identical docs -> one pair at hamming 0; the carried column
+    // must surface each endpoint's own value as a_/b_
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
+    val sigs = Dedup.simhashSignatures(d).withColumn("tag", col("doc_id") * 10)
+    val got = Dedup.simhashPairsFrom(sigs, carry = Seq("tag")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert((r.getLong(3), r.getLong(4)) == ((10L, 20L)), "carried tags wrong")
+  }
+
   test("components labels every doc with its cluster min, singletons included") {
     import TestSession.spark.implicits._
     val verts = (1L to 7L).toDF("doc_id")
