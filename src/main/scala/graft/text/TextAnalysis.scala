@@ -311,6 +311,55 @@ object TextAnalysis {
       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""),
     tags = Set("text"))
 
+  // --------------------------------------------------------- entropy
+
+  /** Character-distribution entropy per doc — the classic
+    * gibberish/compressibility quality signal (low = repeated-char
+    * spam or binary junk, high = diverse natural text). Surprisal of
+    * a char class with count n_c out of N is the ⌊log₂⌋-scale proxy
+    * bitlen(N) − bitlen(n_c) (exact integers, the [[rarity]] /
+    * [[lmScore]] discipline), and `ent_bits` is its occurrence-
+    * weighted mean — ⌊log₂⌋-scale Shannon entropy the DuckDB oracle
+    * replays bit-for-bit up to one IEEE-deterministic divide+round.
+    * Scale shape: one (doc_id, char) count aggregate, one per-doc
+    * rollup, one 1:N join of per-doc totals back onto ≤ |charset|
+    * rows per doc — all keyed by doc_id, no corpus-global state at
+    * all, embarrassingly parallel. */
+  private[graft] def entropyFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cc = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+    val tot = cc.groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("nt"), count(lit(1)).as("n_charset"))
+    cc.join(tot, Seq("doc_id"))
+      .withColumn("bits",
+        (length(conv(col("nt"), 10, 2)) - length(conv(col("nc"), 10, 2))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nt")).as("n_chars"),
+        max(col("n_charset")).as("n_charset"),
+        round(sum(col("bits") * col("nc")).cast("double") / max(col("nt")), 4).as("ent_bits"))
+  }
+
+  val entropy: GQuery = GQuery(
+    "text_entropy",
+    (s, dir) => entropyFrom(Tables.documents(s, dir)),
+    Some("""
+      WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
+                  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+                  WHERE length(text) > 0),
+      cc AS (SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS nt, count(*) AS n_charset
+              FROM cc GROUP BY 1),
+      w AS (SELECT cc.doc_id, nc, nt, n_charset,
+                   length(printf('%b', nt)) - length(printf('%b', nc)) AS bits
+            FROM cc JOIN tot USING (doc_id))
+      SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_chars,
+             CAST(max(n_charset) AS BIGINT) AS n_charset,
+             round(CAST(sum(bits * nc) AS DOUBLE) / max(nt), 4) AS ent_bits
+      FROM w GROUP BY 1"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
-    Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition)
+    Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy)
 }

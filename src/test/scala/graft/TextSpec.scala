@@ -46,6 +46,19 @@ class TextSpec extends SparkSpecBase {
       (3L, 0L, 0L, 0L, false)))
   }
 
+  test("entropy orders degenerate < repetitive < uniform text, integer-exact") {
+    import TestSession.spark.implicits._
+    val d = Seq(
+      (1L, "aaaa"), // one char class -> 0 bits
+      (2L, "abab"), // two balanced classes -> bitlen(4)-bitlen(2) = 1.0
+      (3L, "abcd")) // four singletons -> bitlen(4)-bitlen(1) = 2.0
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.entropyFrom(d)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.0), (2L, 4L, 2L, 1.0), (3L, 4L, 4L, 2.0)))
+  }
+
   test("text_fingerprint output shape on the documents table") {
     val got = SparkEntry.queries("text_fingerprint")(spark, sfDir)
     val rows = got.collect()
