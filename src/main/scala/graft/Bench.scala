@@ -50,7 +50,10 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/stat")
         try src.getLines().find(_.startsWith("cpu ")).map { s =>
           val f = s.trim.split("\\s+").drop(1).map(_.toLong)
-          (if (f.length > 7) f(7) else 0L, f.sum)
+          // denominator: user..steal only — guest/guest_nice (fields 9-10)
+          // are already folded into user/nice by the kernel, and summing
+          // them twice understates steal% on guest-running hosts
+          (if (f.length > 7) f(7) else 0L, f.take(8).sum)
         } finally src.close()
       } catch { case _: Throwable => None }
     val loadStart = loadAvg()

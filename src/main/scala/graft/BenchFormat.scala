@@ -26,7 +26,7 @@ package graft
   *     metric/value/unit/sf/n, warm sentinel as median-of-3 plus the
   *     raw `warm3` triple, machine load at [start,end] of the run,
   *     `slow` = named [min,med,max] for the top-5 most expensive keys,
-  *     `slow_dropped`, `hidden` = {n,max} count and value-bound of
+  *     `hidden` = {n,max} count and value-bound of
   *     full-line entries the window cannot show, and `failed` (capped).
   *     This line is what `parsed` captures; it never self-trims
   *     because its size is independent of the registry's key count.
@@ -107,8 +107,7 @@ object BenchFormat {
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
         s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}],""" +
-        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)},"slow":$slow,""" +
-        s""""slow_dropped":${math.min(5, ok.size) - costly.size}""" +
+        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)},"slow":$slow""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""
          else s""","failed":$failedCapped}""")

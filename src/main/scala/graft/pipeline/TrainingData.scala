@@ -253,7 +253,15 @@ object TrainingData {
     * budget, the classic contiguous-fill rule). Deterministic — no
     * RNG, no partition-order dependence — so the pack layout is
     * reproducible and the DuckDB oracle replays it exactly.
-    * `pack_id` is globally unique: shard × 10⁶ + local pack. */
+    * `pack_id` is globally unique: src_rank × 10¹² + shard × 10⁶ +
+    * local pack, where src_rank is the dense rank of the doc's source
+    * over the corpus's distinct sources (a tiny dim computed once and
+    * broadcast back — sources interleave within every shard, so an id
+    * omitting the source would collide ~|sources| ways per shard).
+    * Unique by construction while shards stay < 10⁶ per source
+    * (doc_id < 10¹⁰) and each (source, shard) yields < 10⁶ packs —
+    * both implied by [[PACK_SHARD_DOCS]] bounding a shard to 10⁴
+    * docs. */
   /** Pack assignment over an arbitrary (doc_id, source, text)
     * relation — the operator body of [[packSequences]]. */
   private[graft] def packOf(docs: DataFrame): DataFrame = {
@@ -262,12 +270,19 @@ object TrainingData {
         col("doc_id"), col("source"),
         expr(s"doc_id DIV $PACK_SHARD_DOCS").as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // src_rank: dense rank of the distinct sources — the single-
+      // partition window is over the deduped source dim (|sources|
+      // rows), never the corpus, and joins back as a broadcast
+      val srcRank = docs.select(col("source")).distinct()
+        .withColumn("src_rank",
+          (dense_rank().over(Window.orderBy(col("source"))) - 1).cast("long"))
       val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("cum", sum(col("n_tokens")).over(w))
+      t.join(broadcast(srcRank), Seq("source"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
         .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
-          (col("shard") * 1000000L +
+          (col("src_rank") * 1000000000000L + col("shard") * 1000000L +
             expr(s"(cum - n_tokens) DIV $PACK_BUDGET")).as("pack_id"))
   }
 
@@ -279,11 +294,16 @@ object TrainingData {
                         doc_id // $PACK_SHARD_DOCS AS shard,
                         len(string_split(text, ' ')) AS n_tokens
                  FROM documents),
-      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
-                                          ORDER BY doc_id) AS cum FROM t)
+      r AS (SELECT source, CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS src_rank
+            FROM (SELECT DISTINCT source FROM documents) s),
+      c AS (SELECT t.*, r.src_rank,
+                   sum(n_tokens) OVER (PARTITION BY t.source, shard
+                                       ORDER BY doc_id) AS cum
+            FROM t JOIN r ON t.source = r.source)
       SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
              CAST(n_tokens AS BIGINT) AS n_tokens,
-             CAST(shard * 1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS pack_id
+             CAST(src_rank * 1000000000000 + shard * 1000000
+                  + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS pack_id
       FROM c"""),
     tags = Set("pipeline"))
 

@@ -54,11 +54,10 @@ class BenchFormatSpec extends AnyFunSuite {
       assert((full \ f) != JNothing, s"full line lacks $f")
     assert((full \ "queries").asInstanceOf[JObject].obj.size == keys.size)
     for (f <- Seq("metric", "value", "unit", "sf", "n", "warm", "warm3", "load",
-                  "steal", "slow", "slow_dropped", "failed"))
+                  "steal", "slow", "failed"))
       assert((compact \ f) != JNothing, s"compact line lacks $f")
     val slow = (compact \ "slow").asInstanceOf[JObject].obj
     assert(slow.size == 5, s"slow has ${slow.size} entries")
-    assert((compact \ "slow_dropped") == JInt(0))
     // slow names the 5 most expensive keys, each with a [min,med,max] triple
     val expensive = times.toSeq.sortBy(-_._2.min).take(5).map(_._1).toSet
     assert(slow.map(_._1).toSet == expensive)

@@ -95,13 +95,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(over == 0, s"$over packs whose fill (minus one doc) already exceeded the budget")
     // pack ids within a (source, shard) are dense from 0
     val gaps = got.select(col("source"), col("shard"),
-        (col("pack_id") - col("shard") * 1000000L).as("local"))
+        pmod(col("pack_id"), lit(1000000L)).as("local"))
       .groupBy(col("source"), col("shard"))
       .agg(min(col("local")).as("lo"), max(col("local")).as("hi"),
         countDistinct(col("local")).as("d"))
       .filter(col("lo") =!= 0L || col("d") =!= col("hi") + 1L)
       .count()
     assert(gaps == 0, s"$gaps (source, shard) groups with non-dense pack ids")
+    // pack_id is globally unique: ~20 sources interleave inside every
+    // shard (AuxGen assigns source = hash mod 20), so an id omitting
+    // the source code would alias ~20 distinct packs onto each value
+    val aliased = got.groupBy(col("pack_id"))
+      .agg(countDistinct(col("source"), col("shard")).as("owners"))
+      .filter(col("owners") > 1L).count()
+    assert(aliased == 0, s"$aliased pack_ids shared across (source, shard) groups")
   }
 
   test("stratified sample is deterministic, honors per-lang rates, and keeps bucket < rate") {
