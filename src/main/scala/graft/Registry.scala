@@ -18,6 +18,7 @@ object Registry {
   /** Full inventory, mirrors SURVEY.md §2. */
   lazy val all: Seq[GQuery] =
     tpch.TpchQueries.all ++
+      tpch.FullTpch.all ++
       operators.Relational.all ++
       text.TextAnalysis.all ++
       dedup.Dedup.all ++

@@ -89,6 +89,11 @@ object TpchGen {
   private val Types3 = Seq("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
   private val Cont1 = Seq("SM", "LG", "MED", "JUMBO", "WRAP")
   private val Cont2 = Seq("CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM")
+  // l_shipmode / l_shipinstruct are DOMAIN columns per the spec (Q12
+  // filters on shipmode membership), not free text — spec value lists,
+  // not word salad, so the unadapted q12_full runs meaningfully
+  private val ShipModes = Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+  private val ShipInstructs = Seq("DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN")
 
   def region(spark: SparkSession): DataFrame =
     ids(spark, 5, 1, -1).select(
@@ -272,8 +277,8 @@ object TpchGen {
       shipdate.as("l_shipdate"),
       date_add(orderDate(col("l_orderkey")), (u("lcd", rowId, 91) + 30).cast("int")).as("l_commitdate"),
       date_add(shipdate, (u("lrd", rowId, 30) + 1).cast("int")).as("l_receiptdate"),
-      words("lsi", rowId, 2).as("l_shipinstruct"),
-      words("lsm", rowId, 1).as("l_shipmode"),
+      pick(ShipInstructs, u("lsi", rowId, 4)).as("l_shipinstruct"),
+      pick(ShipModes, u("lsm", rowId, 7)).as("l_shipmode"),
       words("lc", rowId, 3).as("l_comment"))
   }
 

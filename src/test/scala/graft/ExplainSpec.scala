@@ -57,12 +57,18 @@ class ExplainSpec extends SparkSpecBase {
       "rate lookup must be a compiled when-chain, not a join")
   }
 
-  test("pipeline_pack_sequences: one window over (source, shard), no global single-partition sort") {
+  test("pipeline_pack_sequences: corpus window stays partitioned by (source, shard)") {
     val p = plan("pipeline_pack_sequences")
-    // a global window (empty partition spec) would plan Exchange
-    // SinglePartition — the shape that caps packing at one thread
-    assert(!p.contains("SinglePartition"),
-      s"packing window collapsed to a single partition\n${p.take(2000)}")
+    // the packing prefix-sum must ride a (source, shard)-partitioned
+    // window — a global window would cap packing at one thread. The
+    // src_rank dim is the ONE allowed single-partition subtree: a
+    // dense_rank over the deduped |sources|-row source list (bounded
+    // input by construction), never the corpus.
+    assert("windowspecdefinition\\(source[^)]*shard".r.findFirstIn(p).nonEmpty,
+      s"packing window no longer partitioned by (source, shard)\n${p.take(2000)}")
+    val singles = "SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1,
+      s"$singles single-partition exchanges — corpus path collapsed\n${p.take(2000)}")
     assert(p.contains("Window"), p.take(2000))
   }
 
