@@ -39,15 +39,18 @@ class TpchSourceSpec extends SparkSpecBase {
       .option("numParts", 3).option("part", 1).load().count() == 0)
   }
 
-  test("column pruning reaches the format scan") {
-    // the V1 shim's only real cost is the Row conversion on the scan
-    // boundary; PrunedScan narrows it to the projected columns — the
-    // physical scan over a 2-column projection must not emit the
-    // other 7 orders columns
+  test("column pruning reaches the format scan, and the scan is native DSv2") {
+    // the format must plan a native BatchScan (TpchNativeScan) — not
+    // the V1 shim's ExistingRDD bridge, which exits codegen into boxed
+    // Rows at the scan boundary — and a 2-column projection must not
+    // synthesize the other 7 orders columns
     val plan = viaFormat("orders").select("o_orderkey", "o_totalprice")
       .queryExecution.executedPlan.toString
-    val scanLine = plan.linesIterator.find(_.contains("Scan graft.sources.TpchRelation"))
-      .getOrElse(fail(s"no TpchRelation scan in plan:\n$plan"))
+    assert(!plan.contains("ExistingRDD") && !plan.contains("TpchRelation"),
+      s"tpch format fell back to the V1 RDD[Row] bridge:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("TpchNativeScan"))
+      .getOrElse(fail(s"no TpchNativeScan in plan:\n$plan"))
+    assert(scanLine.contains("BatchScan"), scanLine)
     assert(scanLine.contains("o_orderkey") && scanLine.contains("o_totalprice"), scanLine)
     assert(!scanLine.contains("o_comment") && !scanLine.contains("o_orderdate"), scanLine)
   }
