@@ -460,28 +460,56 @@ object TpchGen {
 
   /** Generated orders vs generated lineitem: o_totalprice must equal
     * the Σ l_extendedprice·(1−l_discount)·(1+l_tax) of the order's
-    * actual lines (within half-cent rounding + FP tolerance — the
-    * analytic fold is integer-exact, the lineitem-side recompute is
-    * double arithmetic), and o_orderstatus must equal the status
-    * derived from the lines' linestatus values — i.e. the spec's
+    * lines (within half-cent rounding + FP tolerance — the analytic
+    * fold is integer-exact, the lineitem-side recompute is double
+    * arithmetic), and o_orderstatus must equal the status derived
+    * from the lines' linestatus values — i.e. the spec's
     * orders↔lineitem consistency that [[lineFold]] synthesises
-    * without a join. Scale-adaptive oracle (count from orders). */
+    * without a join.
+    *
+    * ONE generator pass: both sides re-derive per order id inside the
+    * same Range scan — the orders side via [[lineFold]]'s exact
+    * integer fold (the formula [[orders]] ships), the lineitem side
+    * via an array fold of the literal double-arithmetic column
+    * expressions [[lineitem]] emits. Those are maintained as two
+    * separate code paths on purpose, so the audit still catches drift
+    * between them (e.g. a domain edit to one side), while the old
+    * explode + groupBy + join — two full generator passes and two
+    * shuffles — collapses into a single narrow scan with one partial
+    * agg. Scale-adaptive oracle (count from orders). */
   val genOrdersConsistency: GQuery = GQuery(
     "gen_orders_consistency",
     (s, dir) => {
       val sf = sfFromDir(dir)
-      val o = orders(s, sf)
-      val derived = lineitem(s, sf)
-        .groupBy(col("l_orderkey"))
-        .agg(
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .as("tp"),
-          min(col("l_linestatus")).as("mins"), max(col("l_linestatus")).as("maxs"))
-        .withColumn("status",
-          when(col("mins") === "F" && col("maxs") === "F", "F")
-            .when(col("mins") === "O" && col("maxs") === "O", "O")
-            .otherwise("P"))
-      o.join(derived, col("o_orderkey") === col("l_orderkey"))
+      val p = rows(sf, 200000)
+      val lines = sequence(lit(1), (pmod(col("okey"), lit(7)) + 1).cast("int"))
+      // lineitem's emitted columns, re-derived per line in DOUBLE
+      // arithmetic — the same expressions lineitem() writes
+      val derivedTp = aggregate(lines, lit(0.0), (acc, ln) => {
+        val rowId = col("okey") * 8 + ln
+        val pk = u("lp", rowId, p) + 1
+        acc + (u("lq", rowId, 50) + 1) * retailPrice(pk) *
+          (lit(1) - u("ld", rowId, 11) / lit(100.0)) *
+          (lit(1) + u("lt", rowId, 9) / lit(100.0))
+      })
+      // count of linestatus='F' lines via lineitem's shipdate formula
+      val derivedNf = aggregate(lines, lit(0), (acc, ln) => {
+        val rowId = col("okey") * 8 + ln
+        val shipdate = date_add(orderDate(col("okey")), (u("lsd", rowId, 121) + 1).cast("int"))
+        acc + when(shipdate < lit("1995-06-17").cast("date"), 1).otherwise(0)
+      })
+      ids(s, rows(sf, 1500000), 0, -1)
+        .select(orderKey(col("i")).as("okey"))
+        .withColumn("lf", lineFold(col("okey"), p))
+        .select(
+          // orders' shipped values (same formulas as orders())
+          round(col("lf.tp") / lit(1000000.0), 2).as("o_totalprice"),
+          when(col("lf.nf") === (pmod(col("okey"), lit(7)) + 1).cast("int"), "F")
+            .when(col("lf.nf") === 0, "O").otherwise("P").as("o_orderstatus"),
+          // lineitem's recompute
+          derivedTp.as("tp"),
+          when(derivedNf === (pmod(col("okey"), lit(7)) + 1).cast("int"), "F")
+            .when(derivedNf === 0, "O").otherwise("P").as("status"))
         .agg(
           count(lit(1)).as("n_orders_checked"),
           sum(when(abs(col("o_totalprice") - col("tp")) > 0.01, 1L).otherwise(0L))
