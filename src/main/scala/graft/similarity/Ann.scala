@@ -256,20 +256,24 @@ object Ann {
     *  1. extra Lloyd steps while max list > maxListFactor·N/c (fixes
     *     CLUSTERABLE imbalance — centroids migrate toward density);
     *  2. deterministic hash-split of still-oversized lists into
-    *     ceil(size/cap) sub-lists keyed by xxhash64(vec_id) (fixes
-    *     what geometry cannot: duplicate/tie mass — 10⁶ copies of one
-    *     embedding are one point, no centroid separates them). A probe
-    *     of a split c_id reads all its sub-lists: the candidate set is
-    *     IDENTICAL, but no single task or list structure exceeds ~cap
-    *     rows.
+    *     ceil(size/cap) sub-lists keyed by a md5-derived 48-bit
+    *     integer of vec_id — md5, not xxhash64, so an external SQL
+    *     oracle can replay the split (the [[ivfSeeds]] discipline) —
+    *     (fixes what geometry cannot: duplicate/tie mass — 10⁶ copies
+    *     of one embedding are one point, no centroid separates them).
+    *     A probe of a split c_id reads all its sub-lists: the
+    *     candidate set is IDENTICAL, but no single task or list
+    *     structure exceeds ~cap rows.
     *
     * The per-step balance check reads a ≤c-row aggregate on the
     * driver — an inspection of list SIZES, not a data collect; each
     * step is one extra corpus pass over the persisted (tracked, see
-    * [[graft.Caches]]) vector frame. Not wired into `ann_ivf_topk`:
-    * the guard's step count depends on runtime list sizes, which an
-    * ahead-of-time SQL oracle cannot replay — the oracle key stays
-    * the fixed one-step construction and AnnSpec pins the guard.
+    * [[graft.Caches]]) vector frame. `ann_ivf_topk` stays the fixed
+    * one-step construction (the guard's step count depends on runtime
+    * list sizes, which an ahead-of-time SQL oracle cannot replay);
+    * the SPLIT path is oracle-checked by [[ivfBalancedKey]], which
+    * pins `minSteps = maxSteps` and forces the split with a planted
+    * duplicate mass, and AnnSpec pins the adaptive behaviour.
     * Returns the final centroids, the (vec_id, c_id, list_id)
     * assignment (list_id = struct(c_id, sub); sub is 0 unless split),
     * the final max list size, steps taken, and whether a split ran. */
@@ -316,7 +320,9 @@ object Ann {
       assign = tracked(assign.drop("list_id").join(broadcast(nsub), Seq("c_id"))
         .withColumn("list_id", struct(col("c_id"),
           when(col("nsub") <= 1, lit(0L))
-            .otherwise(pmod(xxhash64(col("vec_id")), col("nsub"))).as("sub")))
+            .otherwise(pmod(
+              conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10).cast("long"),
+              col("nsub"))).as("sub")))
         .select(col("vec_id"), col("c_id"), col("list_id")))
       m = maxListOf(assign)
     }
@@ -420,6 +426,84 @@ object Ann {
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
         FROM scored)
       WHERE rnk <= $K"""),
+    tags = Set("ann"))
+
+  /** Planted vec_id offset for [[ivfBalancedKey]] — far above any
+    * real corpus id so the planted mass never collides. */
+  private[graft] val BAL_BASE = 1000000L
+
+  /** The [[ivfBalanced]] hash-split path under the correctness gate.
+    * The guard's step count is runtime-dependent, which an
+    * ahead-of-time oracle cannot replay — so this key PINS the
+    * construction (`minSteps = maxSteps = 1`: exactly one Lloyd step,
+    * the `ann_ivf_topk` discipline) and FORCES the split with a
+    * planted duplicate mass: ceil(n/2) copies of vector 0, built
+    * in-plan from a broadcast 1-row count so the plant scales with
+    * the corpus (mass ≈ n/2 always exceeds cap ≈ 0.375·n — geometry
+    * cannot separate identical vectors, so the md5-keyed hash-split
+    * MUST fire at every sf). Output is the full (vec_id, c_id, sub)
+    * assignment; the DuckDB oracle replays seeding, the Lloyd step,
+    * assignment, list sizes, cap and the md5 sub-bucketing
+    * bit-for-bit. */
+  val ivfBalancedKey: GQuery = GQuery(
+    "ann_ivf_balanced",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), quant.as("e"))
+      val r = broadcast(base.agg(ceil(count(lit(1)) / 2.0).cast("long").as("r")))
+      val v0 = broadcast(base.filter(col("vec_id") === 0).select(col("e").as("e0")))
+      val planted = base.select(col("vec_id")).crossJoin(r)
+        .filter(col("vec_id") < col("r"))
+        .crossJoin(v0)
+        .select((col("vec_id") + lit(BAL_BASE)).as("vec_id"), col("e0").as("e"))
+      val idx = ivfBalanced(base.unionByName(planted), minSteps = 1, maxSteps = 1)
+      idx.assign.select(col("vec_id"), col("c_id"),
+        col("list_id").getField("sub").as("sub"))
+    },
+    Some(s"""
+      WITH qv0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                   FROM embeddings),
+      qv AS (SELECT vec_id, e FROM qv0
+             UNION ALL
+             SELECT $BAL_BASE + vec_id, (SELECT e FROM qv0 WHERE vec_id = 0)
+             FROM qv0 WHERE vec_id < (SELECT ceil(count(*) / 2.0) FROM qv0)),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      seeds AS (SELECT vec_id AS c_id, e AS ce,
+                       CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS cn
+                FROM qv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IVF_C),
+      seed_scored AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, seeds),
+      seed_assign AS (
+        SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM seed_scored) WHERE rn = 1),
+      dims AS (SELECT a.c_id, d, qv.e[d + 1] AS v
+               FROM seed_assign a JOIN qv USING (vec_id), range(64) t(d)),
+      dim_means AS (SELECT c_id, d, CAST(floor(sum(v) / count(*)) AS BIGINT) AS m
+                    FROM dims GROUP BY 1, 2),
+      cents AS (SELECT c_id, list(m ORDER BY d) AS ce,
+                       CAST(list_sum(list_transform(list(m ORDER BY d), x -> x * x)) AS BIGINT) AS cn
+                FROM dim_means GROUP BY 1),
+      scored_cents AS (
+        SELECT qv.vec_id, c_id,
+               round(CAST(list_sum(list_transform(list_zip(qv.e, ce), p -> p[1] * p[2])) AS BIGINT)
+                     / (sqrt(norms.nn) * sqrt(cn)), 6) AS c_cos
+        FROM qv JOIN norms ON qv.vec_id = norms.vec_id, cents),
+      assign AS (SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM scored_cents) WHERE rn = 1),
+      sizes AS (SELECT c_id, count(*) AS sz FROM assign GROUP BY 1),
+      caps AS (SELECT CAST(ceil(4.0 * (SELECT count(*) FROM qv) / $IVF_C) AS BIGINT) AS cap),
+      nsubs AS (SELECT c_id, CAST(ceil(sz / CAST(cap AS DOUBLE)) AS BIGINT) AS nsub FROM sizes, caps)
+      SELECT a.vec_id, a.c_id,
+             CASE WHEN nsub <= 1 THEN CAST(0 AS BIGINT)
+                  ELSE ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 12))::BIGINT % nsub END AS sub
+      FROM assign a JOIN nsubs USING (c_id)"""),
     tags = Set("ann"))
 
   // ------------------------------------------- product quantization
@@ -539,5 +623,5 @@ object Ann {
       WHERE rnk <= $K"""),
     tags = Set("ann"))
 
-  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk, pqTopk)
+  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk, ivfBalancedKey, pqTopk)
 }

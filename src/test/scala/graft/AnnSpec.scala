@@ -105,7 +105,7 @@ class AnnSpec extends SparkSpecBase {
       val cap = math.ceil(4.0 * 800 / 16).toLong // = ivfBalanced's default factor
       // 600 identical vectors tie onto one seed; Lloyd runs its steps
       // but cannot move a point mass apart — the hash-split must fire
-      // and bound every list near cap (xxhash64-uniform, so allow 1.5×)
+      // and bound every list near cap (md5-uniform split key, allow 1.5×)
       assert(idx.split, "expected the hash-split fallback to fire")
       assert(idx.lloydSteps == 2, s"expected the Lloyd loop to run first, took ${idx.lloydSteps}")
       assert(idx.maxList <= (1.5 * cap).toLong, s"max list ${idx.maxList} vs cap $cap")
