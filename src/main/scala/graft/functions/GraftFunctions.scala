@@ -162,6 +162,81 @@ object WinnowFingerprints {
   }
 }
 
+/** Per-row character-distribution entropy stats over a string column:
+  * `struct(n_chars, n_charset, wbits)` where `n_chars` is the
+  * code-point count, `n_charset` the distinct-code-point count, and
+  * `wbits = Σ_classes (bitlen(n_chars) − bitlen(n_c)) · n_c` — the
+  * exact integer numerator of the ⌊log₂⌋-scale Shannon entropy that
+  * [[graft.text.TextAnalysis]]'s `text_entropy` reports.
+  *
+  * The built-in spelling explodes every character into a row and
+  * aggregates (doc_id, char) pairs — at corpus scale that shuffles
+  * every character of every document twice. Entropy is a per-document
+  * quantity with no cross-document state, so this computes it in one
+  * sorted-run pass per row inside whole-stage codegen: a map-only
+  * scan, zero shuffle, zero row amplification. Values are identical
+  * to the explode spelling (asserted in FunctionsSpec) up to one
+  * documented divergence: characters are compared as decoded code
+  * points, so malformed UTF-8 byte sequences collapse to U+FFFD
+  * where the byte-wise built-ins would keep them distinct. */
+case class CharEntropyStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_charset", LongType, nullable = false),
+    StructField("wbits", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyStats.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  /** Called from generated code. Sort-and-run-count instead of a hash
+    * map: the code-point array is small (one int per char), sorting is
+    * cache-friendly, and run counting is branch-predictable — no per-
+    * class allocation. bitlen(x) = 64 − nlz(x), matching the
+    * `length(conv(x, 10, 2))` spelling the DuckDB oracle uses. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var n = 0
+    val cps = new Array[Int](len) // ≥ codepoint count; surrogate pairs shrink it
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, n)
+    val ntBits = if (n == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+    var wbits = 0L
+    var charset = 0L
+    var j = 0
+    while (j < n) {
+      var e = j + 1
+      while (e < n && cps(e) == cps(j)) e += 1
+      val nc = e - j
+      val bits = ntBits - (32 - Integer.numberOfLeadingZeros(nc))
+      wbits += bits.toLong * nc
+      charset += 1
+      j = e
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, charset, wbits))
+  }
+}
+
 /** Registration surfaces for graft's native functions. */
 object GraftFunctions {
 
@@ -178,6 +253,10 @@ object GraftFunctions {
     ("winnow_fps", new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"), { args =>
       require(args.length == 3, s"winnow_fps expects (text, k, w), got ${args.length} args")
       WinnowFingerprints(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
+    }),
+    ("char_entropy", new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy"), { args =>
+      require(args.length == 1, s"char_entropy expects 1 argument, got ${args.length}")
+      CharEntropyStats(args.head)
     }))
 
   /** Idempotent in-session registration; afterwards

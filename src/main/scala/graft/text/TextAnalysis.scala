@@ -321,24 +321,22 @@ object TextAnalysis {
     * [[lmScore]] discipline), and `ent_bits` is its occurrence-
     * weighted mean — ⌊log₂⌋-scale Shannon entropy the DuckDB oracle
     * replays bit-for-bit up to one IEEE-deterministic divide+round.
-    * Scale shape: one (doc_id, char) count aggregate, one per-doc
-    * rollup, one 1:N join of per-doc totals back onto ≤ |charset|
-    * rows per doc — all keyed by doc_id, no corpus-global state at
-    * all, embarrassingly parallel. */
+    * Scale shape: entropy is a per-DOCUMENT quantity with no
+    * cross-document state, so the whole computation is the codegen'd
+    * [[graft.functions.CharEntropyStats]] expression in the scan
+    * projection — a map-only pass, zero shuffle, zero row
+    * amplification. (The r11 spelling exploded every character into
+    * a row and aggregated (doc_id, char) pairs: same values, but it
+    * shuffled every character of the corpus — measured 5× slower at
+    * sf0.1 and strictly worse at scale.) */
   private[graft] def entropyFrom(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cc = docs.filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
-    val tot = cc.groupBy(col("doc_id"))
-      .agg(sum(col("nc")).as("nt"), count(lit(1)).as("n_charset"))
-    cc.join(tot, Seq("doc_id"))
-      .withColumn("bits",
-        (length(conv(col("nt"), 10, 2)) - length(conv(col("nc"), 10, 2))).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("nt")).as("n_chars"),
-        max(col("n_charset")).as("n_charset"),
-        round(sum(col("bits") * col("nc")).cast("double") / max(col("nt")), 4).as("ent_bits"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr("char_entropy(text)").as("st"))
+      .select(col("doc_id"),
+        col("st.n_chars").as("n_chars"),
+        col("st.n_charset").as("n_charset"),
+        round(col("st.wbits").cast("double") / col("st.n_chars"), 4).as("ent_bits"))
   }
 
   val entropy: GQuery = GQuery(

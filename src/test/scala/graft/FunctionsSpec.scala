@@ -89,6 +89,70 @@ class FunctionsSpec extends SparkSpecBase {
     })
   }
 
+  test("char_entropy equals the explode/groupBy spelling on real documents") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(col("text")) > 0).limit(200)
+    val native = docs.selectExpr("doc_id", "char_entropy(text) AS st")
+      .selectExpr("doc_id", "st.n_chars", "st.n_charset", "st.wbits")
+    // the r11 spelling: explode chars, count per (doc, char), fold
+    val cc = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+    val tot = cc.groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("nt"), count(lit(1)).as("n_charset"))
+    val builtin = cc.join(tot, Seq("doc_id"))
+      .withColumn("bits",
+        (length(conv(col("nt"), 10, 2)) - length(conv(col("nc"), 10, 2))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nt")).as("n_chars"), max(col("n_charset")).as("n_charset"),
+        sum(col("bits") * col("nc")).as("wbits"))
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, b) = (asMap(native), asMap(builtin))
+    assert(n.nonEmpty && n == b,
+      n.keys.filter(k => n.get(k) != b.get(k)).take(3).mkString("; "))
+  }
+
+  test("char_entropy equals the explode spelling on arbitrary unicode strings (property)") {
+    GraftFunctions.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet = "ab c1é的ß漢字🌍x"
+    val gen = for {
+      len <- Gen.choose(1, 60)
+      cs <- Gen.listOfN(len, Gen.oneOf(alphabet.codePoints().toArray.toIndexedSeq))
+    } yield cs.map(Character.toChars(_).mkString).mkString
+    val samples = (0 until 150).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    import TestSession.spark.implicits._
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = df.selectExpr("doc_id", "char_entropy(text) AS st")
+      .selectExpr("doc_id", "st.n_chars", "st.n_charset", "st.wbits")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val builtin = samples.zipWithIndex.map { case (t, i) =>
+      val cps = t.codePoints().toArray
+      val counts = cps.groupBy(identity).map(_._2.length)
+      val ntBits = 64 - java.lang.Long.numberOfLeadingZeros(cps.length.toLong)
+      val wbits = counts.map(nc =>
+        (ntBits - (32 - Integer.numberOfLeadingZeros(nc))).toLong * nc).sum
+      i.toLong -> (cps.length.toLong, counts.size.toLong, wbits)
+    }.toMap
+    assert(native == builtin,
+      native.keys.filter(k => native.get(k) != builtin.get(k)).take(3)
+        .map(k => s"doc=$k text='${samples(k.toInt)}'").mkString("; "))
+  }
+
+  test("char_entropy participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(10)
+      .selectExpr("concat('doc', id, repeat('ab', CAST(id AS INT))) AS text")
+      .selectExpr("char_entropy(text) AS st")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[char_entropy""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("dot_long participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     // non-literal input so the optimizer can't constant-fold the call
