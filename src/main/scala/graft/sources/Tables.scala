@@ -30,16 +30,22 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects by default. Read it as a long
-    * (legacy nanosAsLong, set once per session here — idempotent, also
-    * pre-set by [[graft.Sessions]]) and truncate to microseconds —
-    * exactly what DuckDB's TIMESTAMP (µs) does, so oracle values agree. */
+  /** `events.parquet` has shipped `ts` two ways across driver rounds:
+    * as INT64 TIMESTAMP(NANOS) (which Spark's parquet reader rejects by
+    * default — read via legacy nanosAsLong and truncate to µs, exactly
+    * what DuckDB's TIMESTAMP does) and, since round 12, as a plain
+    * µs-precision timestamp (already DuckDB-identical — pass through).
+    * Dispatch on the read schema so both corpora keep working. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long corpus
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

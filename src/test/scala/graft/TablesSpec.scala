@@ -39,6 +39,13 @@ class TablesSpec extends SparkSpecBase {
   test("registerAll exposes the accessor schema (events.ts is a timestamp)") {
     Tables.registerAll(spark, sfDir)
     val tsType = spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
-    assert(tsType == org.apache.spark.sql.types.TimestampType, tsType.toString)
+    // µs-precision timestamp either way; NTZ on corpora that store
+    // TIMESTAMP(MICROS) without UTC adjustment (driver testdata since
+    // r12), LTZ on corpora where the legacy nanos column is converted
+    // via timestamp_micros. Never the raw long.
+    val ok = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(ok.contains(tsType), tsType.toString)
   }
 }
