@@ -137,6 +137,43 @@ object Dedup {
       FROM documents GROUP BY md5(text)"""),
     tags = Set("dedup"))
 
+  /** Incremental dedup — the shape a 100 TB corpus actually runs day
+    * to day: an arriving BATCH is deduped against the standing
+    * CORPUS's signature index without rescanning (or re-deduping) the
+    * corpus itself. Here the split is deterministic so the oracle can
+    * replay it (doc_id mod 10: 0-7 = corpus, 8-9 = batch); in
+    * production the index is a persisted, hash-bucketed table of
+    * 16-byte md5 signatures maintained across deliveries. Two steps,
+    * both linear in the BATCH: (1) within-batch collapse (hash
+    * groupBy, keep min doc_id), (2) left-anti join against the index
+    * on the signature — shuffle cost is O(batch + index), never
+    * O(corpus text), and with the index pre-bucketed on the hash the
+    * anti join is exchange-free on the corpus side. The streaming twin
+    * is [[graft.streaming.Streams.dedupStream]] (state-bounded,
+    * watermark horizon); this key is the unbounded-history batch
+    * variant. */
+  val incremental: GQuery = GQuery(
+    "dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpusIndex = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select(md5(col("text")).as("text_md5")).distinct()
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(corpusIndex, Seq("text_md5"), "left_anti")
+        .select(col("doc_id"), col("text_md5"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 10 < 8),
+      batch AS (
+        SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+        FROM documents WHERE doc_id % 10 >= 8 GROUP BY 1)
+      SELECT doc_id, text_md5 FROM batch
+      WHERE text_md5 NOT IN (SELECT text_md5 FROM corpus)"""),
+    tags = Set("dedup"))
+
   // ----------------------------------------------------- paragraph/chunk
 
   /** Words per paragraph-dedup chunk. The `documents` text carries no
@@ -949,6 +986,6 @@ object Dedup {
     tags = Set("dedup"))
 
   def all: Seq[GQuery] =
-    Seq(exact, paragraph, ngramJaccard, minhashLsh, simhash, simhashPairs,
-      components, embedding, semantic)
+    Seq(exact, incremental, paragraph, ngramJaccard, minhashLsh, simhash,
+      simhashPairs, components, embedding, semantic)
 }

@@ -230,6 +230,57 @@ object TrainingData {
       WHERE bucket < permille"""),
     tags = Set("pipeline"))
 
+  /** Domain-mixture sampling — hit TARGET per-source proportions, the
+    * knob a training-data pipeline turns constantly (up-weight books,
+    * down-weight boilerplate web). Target weight per source is a small
+    * integer (here derived from the source's numeric suffix, w ∈
+    * {1,2,3} — a stand-in for the mixture config a run would ship),
+    * normalized so the max-weight smallest source keeps everything
+    * and no source is over-drawn: source s keeps
+    * min(1, (w_s/W_MAX) · min_n/n_s) of its docs, so kept sizes are
+    * proportional to w_s. Membership is the same md5-permille coin as
+    * [[sampleStratified]], and the accept test is INTEGER-exact —
+    * `bucket · n_s · W_MAX < 1000 · w_s · min_n` (never a float
+    * rate) — so both engines keep exactly the same rows and the cap
+    * case falls out of the same inequality (on a uniform corpus the
+    * rule reduces to bucket·W_MAX < 1000·w: keep w/W_MAX of each
+    * source). Cost: one 20-row count aggregate broadcast
+    * back over a scan-level filter; the sample itself never shuffles.
+    * The broadcast of the 1-row min is the same scalar-subquery
+    * spelling as q11/q22 (BNL against one row — allowed in PlanSpec). */
+  /** Largest mixture weight — the normalizer that makes the top-weight
+    * anchor source keep 100%. */
+  private[graft] val W_MAX = 3
+
+  val domainMix: GQuery = GQuery(
+    "pipeline_domain_mix",
+    (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val minN = counts.agg(min(col("n_src")).as("min_n"))
+      docs
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+            lit(1000L)))
+        .withColumn("w", pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(3)) + 1)
+        .join(broadcast(counts), Seq("source"))
+        .crossJoin(broadcast(minN))
+        .filter(col("bucket") * col("n_src") * lit(W_MAX) <
+          lit(1000L) * col("w") * col("min_n"))
+        .select(col("doc_id"), col("source"), col("bucket"))
+    },
+    Some(s"""
+      WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      m AS (SELECT min(n_src) AS min_n FROM counts)
+      SELECT doc_id, source, bucket FROM (
+        SELECT d.doc_id, d.source,
+               ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 1000 AS bucket,
+               (CAST(substr(d.source, 4) AS BIGINT) % 3) + 1 AS w,
+               c.n_src, m.min_n
+        FROM documents d JOIN counts c USING (source), m)
+      WHERE bucket * n_src * $W_MAX < 1000 * w * min_n"""),
+    tags = Set("pipeline"))
+
   // ------------------------------------------------- sequence packing
 
   /** Token budget per training pack: consecutive documents fill a pack
@@ -308,5 +359,5 @@ object TrainingData {
     tags = Set("pipeline"))
 
   def all: Seq[GQuery] =
-    Seq(curateQuery, decontaminate, sampleStratified, packSequences)
+    Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences)
 }

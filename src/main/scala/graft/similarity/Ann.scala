@@ -116,21 +116,11 @@ object Ann {
       .select(col("vec_id"), col("band"), col("bkey"))
   }
 
-  /** LSH-bucketed ANN — the scale path when both the query set and
-    * the corpus are large. Both sides hash to 32 hyperplane-sign bits
-    * banded 8×4; only (band, bucket)-colliding pairs are scored, so
-    * the join is an equi-join on the bucket key (md5-uniform, no
-    * skew) instead of Q×N. Approximate by construction vs the exact
-    * baseline (AnnSpec measures recall against [[cosineTopk]]), but
-    * fully deterministic: the md5-derived hyperplanes and integer
-    * quantization let the DuckDB oracle replay the entire pipeline —
-    * hyperplane signs, banding, candidate join, verify, top-k — so
-    * the hash check covers the whole approximate algorithm, not just
-    * its output shape. */
-  val lshTopk: GQuery = GQuery(
-    "ann_lsh_topk",
-    (s, dir) => lshTopkFrom(Tables.embeddings(s, dir), s),
-    Some(s"""
+  /** Oracle WITH-chain through `scored` — the full LSH pipeline
+    * (quantize, hyperplane signs, banding, candidate join, exact
+    * cosine), shared verbatim by the top-k and range-search oracles
+    * (they differ only in the final SELECT: rank vs threshold). */
+  private val lshScoredSql: String = s"""
       WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
@@ -154,12 +144,52 @@ object Ann {
       scored AS (SELECT query_id, dots.vec_id AS vec_id,
                         round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
                  FROM dots JOIN norms nq ON query_id = nq.vec_id
-                           JOIN norms nc ON dots.vec_id = nc.vec_id)
+                           JOIN norms nc ON dots.vec_id = nc.vec_id)"""
+
+  /** LSH-bucketed ANN — the scale path when both the query set and
+    * the corpus are large. Both sides hash to 32 hyperplane-sign bits
+    * banded 8×4; only (band, bucket)-colliding pairs are scored, so
+    * the join is an equi-join on the bucket key (md5-uniform, no
+    * skew) instead of Q×N. Approximate by construction vs the exact
+    * baseline (AnnSpec measures recall against [[cosineTopk]]), but
+    * fully deterministic: the md5-derived hyperplanes and integer
+    * quantization let the DuckDB oracle replay the entire pipeline —
+    * hyperplane signs, banding, candidate join, verify, top-k — so
+    * the hash check covers the whole approximate algorithm, not just
+    * its output shape. */
+  val lshTopk: GQuery = GQuery(
+    "ann_lsh_topk",
+    (s, dir) => lshTopkFrom(Tables.embeddings(s, dir), s),
+    Some(s"""$lshScoredSql
       SELECT query_id, vec_id, rnk, cosine FROM (
         SELECT query_id, vec_id, cosine,
                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
         FROM scored)
       WHERE rnk <= $K"""),
+    tags = Set("ann"))
+
+  /** Cosine threshold for [[rangeSearch]] — low for this synthetic
+    * corpus (random-ish 64-dim vectors; real text embeddings cluster
+    * far tighter and run τ ≥ 0.8). The τ, not the mechanism, is the
+    * scale knob. */
+  private[graft] val RANGE_TAU = 0.3
+
+  /** Range search: ALL neighbours with cosine ≥ τ, not a fixed k —
+    * the retrieval primitive near-dup mining and contamination sweeps
+    * actually want (a query's true neighbour count is unknown a
+    * priori; top-k silently truncates dense neighbourhoods and pads
+    * sparse ones). Same LSH-bucketed candidate generation and exact
+    * quantized-cosine verify as [[lshTopk]] (shared [[lshScored]]
+    * stage), minus the per-query window: no row_number sort, so the
+    * plan is join + filter only — strictly cheaper than top-k at any
+    * scale — and the DuckDB oracle replays the identical WITH-chain
+    * with a threshold instead of a rank. */
+  val rangeSearch: GQuery = GQuery(
+    "ann_range_search",
+    (s, dir) => lshScored(Tables.embeddings(s, dir), s)
+      .filter(col("cosine") >= RANGE_TAU),
+    Some(s"""$lshScoredSql
+      SELECT query_id, vec_id, cosine FROM scored WHERE cosine >= $RANGE_TAU"""),
     tags = Set("ann"))
 
   /** `bitsPerBand` widens the [[signBands]] buckets (default 4 = the
@@ -180,7 +210,11 @@ object Ann {
     * is tracked in [[graft.Caches]] — callers release it with
     * `Caches.release()` after their terminal action (Verify/Bench do;
     * a long-lived session otherwise accumulates band caches). */
-  private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession,
+  /** Shared LSH candidate-scoring stage: band both sides, equi-join on
+    * (band, bucket), score every colliding pair's exact quantized
+    * cosine. [[lshTopkFrom]] ranks it (top-k); [[rangeSearch]]
+    * thresholds it (all neighbours ≥ τ). */
+  private[graft] def lshScored(emb: DataFrame, s: SparkSession,
       bitsPerBand: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val vecs = emb.select(col("vec_id"), quant.as("e"))
@@ -191,7 +225,6 @@ object Ann {
     val cand = qb.join(bands, Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cand
       .join(vecs.select(col("vec_id").as("q_id"), col("e").as("qe")), col("query_id") === col("q_id")).drop("q_id")
       .join(vecs.select(col("vec_id"), col("e").as("ce")), Seq("vec_id"))
@@ -199,6 +232,13 @@ object Ann {
       .join(norms.select(col("vec_id").as("query_id"), col("nn").as("qn")), Seq("query_id"))
       .join(norms.select(col("vec_id"), col("nn").as("cn")), Seq("vec_id"))
       .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
+  private[graft] def lshTopkFrom(emb: DataFrame, s: SparkSession,
+      bitsPerBand: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    lshScored(emb, s, bitsPerBand)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
@@ -623,5 +663,6 @@ object Ann {
       WHERE rnk <= $K"""),
     tags = Set("ann"))
 
-  def all: Seq[GQuery] = Seq(cosineTopk, lshTopk, ivfTopk, ivfBalancedKey, pqTopk)
+  def all: Seq[GQuery] =
+    Seq(cosineTopk, lshTopk, rangeSearch, ivfTopk, ivfBalancedKey, pqTopk)
 }

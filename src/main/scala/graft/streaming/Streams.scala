@@ -108,6 +108,34 @@ object Streams {
       }
   }
 
+  /** DataFrame-native session windows via the built-in
+    * `session_window()` — the declarative twin of [[sessionize]]
+    * (which demonstrates custom state); this one is the spelling to
+    * prefer in production because it stays inside Catalyst (hash
+    * aggregate with merging session state, AQE, codegen) instead of
+    * opaque user state. The same transform runs on batch and (after
+    * `withWatermark`) streaming input unchanged.
+    *
+    * Semantics note the oracle must replay: the builtin's windows are
+    * half-open `[start, max(ts) + gap)` and an event landing exactly
+    * at a session's end starts a NEW session — so the gaps-and-islands
+    * replay breaks sessions on `ts >= prev + gap` (strict `>` in
+    * [[graft.operators.Relational.sessionize]]'s manual variant) and
+    * emits `max(ts) + gap` as the end. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming session counts: watermark-bounded state, append mode
+    * emits a session once the watermark passes its close. */
+  def sessionWindowCounts(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    sessionWindowAgg(stream.withWatermark("ts", watermark))
+
   /** Exact dedup at ingest — how a 100 TB corpus dedups INCREMENTALLY
     * instead of re-scanning itself per delivery: every arriving
     * document's md5(text) is checked against streaming state, dups
@@ -168,6 +196,32 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Batch-parity key for [[sessionWindowAgg]]: the identical
+    * session_window transform on the batch events table, oracle-checked
+    * against a gaps-and-islands replay with the builtin's half-open
+    * boundary rule. */
+  val streamSessionWindow: GQuery = GQuery(
+    "stream_session_window",
+    (s, dir) => sessionWindowAgg(Tables.events(s, dir)),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      ids AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM ids GROUP BY user_id, sid"""),
+    tags = Set("streaming"))
+
   /** Batch-parity key for [[intervalJoin]] over the events table. */
   val streamIntervalJoin: GQuery = GQuery(
     "stream_interval_join",
@@ -184,5 +238,6 @@ object Streams {
         AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR"""),
     tags = Set("streaming"))
 
-  def all: Seq[GQuery] = Seq(streamWindowedAgg, streamDedup, streamIntervalJoin)
+  def all: Seq[GQuery] =
+    Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow)
 }

@@ -54,6 +54,24 @@ class AnnSpec extends SparkSpecBase {
     pq.unpersist()
   }
 
+  test("ann_range_search: every hit clears the threshold and covers the top-k hits above it") {
+    val dir = TestSession.sfDir01
+    val range = SparkEntry.queries("ann_range_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.nonEmpty)
+    assert(range.forall(_._3 >= graft.similarity.Ann.RANGE_TAU),
+      s"hit below threshold: ${range.filter(_._3 < graft.similarity.Ann.RANGE_TAU).toSeq}")
+    // range search shares the candidate stage with top-k, so every
+    // LSH top-k hit at/above the threshold must be in the range result
+    val topkAbove = SparkEntry.queries("ann_lsh_topk")(spark, dir)
+      .filter(col("cosine") >= graft.similarity.Ann.RANGE_TAU)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rset = range.map(t => (t._1, t._2)).toSet
+    assert(topkAbove.nonEmpty && topkAbove.subsetOf(rset),
+      s"top-k hits missing from range: ${(topkAbove -- rset).toSeq}")
+  }
+
   test("lsh band width shrinks the candidate set superlinearly") {
     // doubling bitsPerBand squares the per-band bucket count (16 →
     // 256), so per-query candidates must fall by much more than 2× —

@@ -244,6 +244,27 @@ class DedupSpec extends SparkSpecBase {
     comp.unpersist()
   }
 
+  test("incremental dedup: survivors are new to the corpus index and unique in the batch") {
+    val dir = TestSession.sfDir01
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val survivors = SparkEntry.queries("dedup_incremental")(spark, dir).cache()
+    try {
+      val hashes = survivors.select(col("text_md5")).collect().map(_.getString(0))
+      // unique within the batch
+      assert(hashes.nonEmpty && hashes.distinct.length == hashes.length)
+      // disjoint from the corpus signature index
+      val corpusSigs = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select(md5(col("text")).as("h")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(hashes.forall(h => !corpusSigs.contains(h)),
+        s"survivor already in corpus: ${hashes.filter(corpusSigs.contains).toSeq}")
+      // completeness: corpus sigs + survivors = all distinct sigs
+      val allSigs = docs.select(md5(col("text")).as("h")).distinct().count()
+      assert(corpusSigs.size + hashes.length == allSigs,
+        s"${corpusSigs.size} + ${hashes.length} != $allSigs")
+    } finally survivors.unpersist()
+  }
+
   test("paragraph dedup drops repeated chunks everywhere but the min doc_id") {
     // doc 1 and doc 2 share their first 24-word chunk verbatim; doc 2's
     // second chunk is unique; doc 3 is entirely unique

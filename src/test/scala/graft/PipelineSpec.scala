@@ -62,6 +62,36 @@ class PipelineSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("domain mix keeps sources proportional to their weights, max-weight sources whole") {
+    val dir = TestSession.sfDir01
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("pipeline_domain_mix")(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = totals.values.min
+    def weight(src: String): Long = src.drop(3).toLong % 3 + 1
+    // per-source the md5-permille coin is binomial on ~25 draws (sd ≈
+    // 2.4 docs) — too noisy to pin individually; assert never-overdrawn
+    // per source and proportionality per WEIGHT CLASS, where the noise
+    // averages over ~7 sources
+    totals.foreach { case (src, n) =>
+      assert(kept.getOrElse(src, 0L) <= n, s"$src overdrawn")
+    }
+    (1L to TrainingData.W_MAX).foreach { w =>
+      val srcs = totals.keys.filter(weight(_) == w).toSeq
+      val expected = srcs.map(s => math.min(totals(s).toDouble,
+        w.toDouble * minN / TrainingData.W_MAX)).sum
+      val got = srcs.map(s => kept.getOrElse(s, 0L).toDouble).sum
+      assert(math.abs(got - expected) <= 0.2 * expected,
+        s"weight $w: kept $got, expected ~$expected over ${srcs.size} sources")
+    }
+    // a max-weight source at the minimum size is kept whole
+    val anchor = totals.filter { case (s, n) => n == minN && weight(s) == TrainingData.W_MAX }
+    anchor.keys.foreach(s => assert(kept.getOrElse(s, 0L) == totals(s), s"anchor $s not whole"))
+  }
+
   test("sequence packing streaming-fills per (source, shard) and never skips a pack") {
     import TestSession.spark.implicits._
     // 5 docs of 400 tokens each in one source/shard: budget 1024 →

@@ -19,7 +19,8 @@ class PlanSpec extends SparkSpecBase {
     val allowed = Set("q11_important_stock", "q22_global_sales", "q8_market_share",
       "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_balanced", "dedup_semantic",
-      "gen_partsupp_join", "gen_source_format", "gen_aux_profile")
+      "gen_partsupp_join", "gen_source_format", "gen_aux_profile",
+      "pipeline_domain_mix")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

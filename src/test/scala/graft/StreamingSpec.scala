@@ -92,6 +92,29 @@ class StreamingSpec extends SparkSpecBase {
       (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"))), got.toString)
   }
 
+  test("sessionWindowCounts through a MemoryStream equals the batch sessionWindowAgg") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events: _*)
+    val q = Streams.sessionWindowCounts(mem.toDF()).writeStream
+      .format("memory").queryName("sw_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sw_out")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.sessionWindowAgg(events.toDF())
+      .collect().map(_.toSeq).toSet
+    // append mode only emits sessions the watermark has closed; every
+    // emitted session must match the batch twin, and user 1's first
+    // session (10:05..10:20, builtin end = last event + gap) must be
+    // among them
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+    assert(streamed.contains(Seq(1L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:50:00"), 2L)),
+      streamed.toString)
+  }
+
   test("sessionize emits closed sessions with correct bounds, counts, and late-event merging") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
