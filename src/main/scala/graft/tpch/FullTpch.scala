@@ -49,7 +49,7 @@ object FullTpch {
 
   /** Bumped whenever [[TpchGen]]'s emitted bytes change, so a stale
     * persisted corpus from an earlier build is regenerated, not reused. */
-  private val GenVersion = "gen-v2-spec-shipmodes"
+  private val GenVersion = "gen-v3-q13-comments"
 
   /** Correctness runs at sf0.01 (driver contract) — the oracle CTEs
     * bind to that corpus; at other sfs (bench) the oracle is unused. */
@@ -389,10 +389,10 @@ object FullTpch {
   // -------------------------------------------------------------- Q13
   /** TPC-H Q13, spec text (words special/requests): customer order-count
     * distribution via left outer join with the NOT LIKE inside the join
-    * condition. The generator's o_comment domain is the spec's p_name
-    * color-word list, so the filter excludes nothing here — the plan
-    * shape (outer join + residual comment filter + double aggregation)
-    * is what the key exercises; both engines apply the same filter. */
+    * condition. The generator plants the spec's comment pattern on ~1%
+    * of orders (TpchGen.orders), so the filter excludes a real slice —
+    * the key exercises live NOT-LIKE-inside-outer-join semantics, not
+    * just the plan shape. */
   val q13Full: GQuery = key(
     "q13_full_customer_distribution",
     Seq("customer", "orders"),

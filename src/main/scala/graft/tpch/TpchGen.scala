@@ -240,7 +240,16 @@ object TpchGen {
         format_string("Clerk#%09d", u("ock", col("o_orderkey"), math.max(1, (1000 * sf).toLong)) + 1)
           .as("o_clerk"),
         lit(0).as("o_shippriority"),
-        words("occ", col("o_orderkey"), 5).as("o_comment"))
+        // ~1% of orders carry the spec's Q13 comment pattern
+        // (WORD1=special, WORD2=requests, separated so the middle
+        // wildcard of '%special%requests%' is exercised) — dbgen's
+        // grammar plants these; without them the textbook Q13's
+        // NOT LIKE would be vacuous over pure word salad
+        when(u("ocx", col("o_orderkey"), 100) === 0,
+          concat_ws(" ", words("occ", col("o_orderkey"), 3),
+            lit("special"), pick(Words, u("ocw", col("o_orderkey"), Words.length)),
+            lit("requests")))
+          .otherwise(words("occ", col("o_orderkey"), 5)).as("o_comment"))
   }
 
   /** 1..7 lineitems per order (spec distribution), exploded from the
