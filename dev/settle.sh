@@ -22,7 +22,7 @@ WARM_MAX=${WARM_MAX:-0.45}
 STEAL_MAX=${STEAL_MAX:-1.0}
 TRIES=${TRIES:-6}
 mkdir -p "$OUT"
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
 AO=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \

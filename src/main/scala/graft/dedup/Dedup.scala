@@ -198,17 +198,22 @@ object Dedup {
     * fans out to B rows — never B² — and AQE's skew split handles a
     * hot hash partition because output ≤ input. The final per-doc
     * rollup shuffles doc_id. No stage is quadratic in anything. */
+  /** (doc_id, chunk, h, n_words) for every [[PARA_W]]-word chunk of
+    * every document — the shared chunking stage of [[paragraphStats]]
+    * and [[graft.text.TextAnalysis.boilerplate]]. */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, CAST(ceil(size(w) / $PARA_W.0) AS INT) - 1),
+                    i -> concat_ws(' ', slice(w, i * $PARA_W + 1, $PARA_W)))"""))
+      .as("chunk"))
+    .withColumn("h", md5(col("chunk")))
+    .withColumn("n_words", size(split(col("chunk"), " ")).cast("long"))
+
   /** Per-doc paragraph-dedup accounting over an arbitrary
     * (doc_id, text) relation — the operator body of [[paragraph]]. */
   private[graft] def paragraphStats(docs: DataFrame): DataFrame = {
-    val ch = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, CAST(ceil(size(w) / $PARA_W.0) AS INT) - 1),
-                      i -> concat_ws(' ', slice(w, i * $PARA_W + 1, $PARA_W)))"""))
-        .as("chunk"))
-      .withColumn("h", md5(col("chunk")))
-      .withColumn("n_words", size(split(col("chunk"), " ")).cast("long"))
+    val ch = chunksOf(docs)
     val owners = ch.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("n_docs"))
     ch.join(owners, Seq("h"))

@@ -543,9 +543,50 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** Bits per Z-order dimension (8 → 256 buckets per dim, 16-bit key). */
+  private[graft] val Z_BITS = 8
+
+  /** Z-order (Morton) clustering key over events — the multi-dim data
+    * LAYOUT operator: interleaving the bits of a user bucket and a day
+    * bucket yields a single sort key under which rows close in EITHER
+    * dimension sit close in the file order, so parquet min/max
+    * row-group stats prune selective predicates on user AND on time
+    * from one physical layout (a linear sort can only serve one).
+    * This key computes the interleave itself (event_id, bx, by,
+    * zkey) — pure integer DIV/mod arithmetic, codegen'd map-only, no
+    * shuffle; the write-side pairing is
+    * `repartitionByRange(col("zkey")).sortWithinPartitions("zkey")`
+    * before a parquet write (same pattern as `Sinks.writeBucketed`),
+    * and RelationalSpec asserts the locality property that makes the
+    * layout worth paying for: consecutive zkey ranges bound both
+    * dimensions. */
+  val zorderCluster: GQuery = {
+    def terms(bx: String, by: String, div: String): String =
+      (0 until Z_BITS).map { i =>
+        s"(($bx $div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + (($by $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+    GQuery(
+      "op_zorder_cluster",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("bx", pmod(col("user_id"), lit(1L << Z_BITS)))
+          .withColumn("by",
+            pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long"),
+              lit(1L << Z_BITS)))
+          .select(col("event_id"), col("bx"), col("by"),
+            expr(terms("bx", "by", "DIV")).cast("long").as("zkey")),
+      Some(s"""
+        SELECT event_id, bx, by, CAST(${terms("bx", "by", "//")} AS BIGINT) AS zkey
+        FROM (SELECT event_id,
+                     user_id % ${1L << Z_BITS} AS bx,
+                     CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) % ${1L << Z_BITS} AS by
+              FROM events)"""),
+      tags = Set("relational"))
+  }
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
-    rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg)
+    rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster)
 }

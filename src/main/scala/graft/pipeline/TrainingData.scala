@@ -358,6 +358,145 @@ object TrainingData {
       FROM c"""),
     tags = Set("pipeline"))
 
+  // ------------------------------------------------ global shuffle/shard
+
+  /** Documents per shuffle shard — bounds every within-shard ordering
+    * window to a fixed document count so window parallelism grows
+    * with the corpus (same discipline as [[PACK_SHARD_DOCS]]). */
+  private[graft] val SHUFFLE_SHARD_DOCS = 100L
+
+  /** Deterministic global training shuffle + shard assignment — the
+    * "randomize example order, write N shard files" step every
+    * training run needs, WITHOUT a total-order sort: shard =
+    * md5(doc_id) mod n_shards (a hash partition, embarrassingly
+    * parallel), position within the shard = rank by the same 56-bit
+    * hash key (a per-shard window whose partition is bounded to
+    * ~[[SHUFFLE_SHARD_DOCS]] docs in expectation because n_shards
+    * scales with the corpus count). Hash-keyed rather than RNG so the
+    * shuffle is reproducible run-to-run and auditable — rerunning at
+    * 100 TB yields byte-identical shards. The corpus count is a 1-row
+    * aggregate broadcast back (the q11/q22 scalar-subquery spelling);
+    * nothing else shuffles except the shard exchange itself. */
+  val shuffleShard: GQuery = GQuery(
+    "pipeline_shuffle_shard",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.sources.Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs
+        .withColumn("skey",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10).cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("shard",
+          pmod(col("skey"), expr(s"(n + ${SHUFFLE_SHARD_DOCS - 1}) DIV $SHUFFLE_SHARD_DOCS")))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some(s"""
+      WITH n AS (SELECT count(*) AS n FROM documents),
+      k AS (SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT AS skey,
+                   CAST((n.n + ${SHUFFLE_SHARD_DOCS - 1}) // $SHUFFLE_SHARD_DOCS AS BIGINT) AS n_shards
+            FROM documents, n)
+      SELECT doc_id, skey % n_shards AS shard,
+             CAST(row_number() OVER (PARTITION BY skey % n_shards
+                                     ORDER BY skey, doc_id) AS BIGINT) AS pos
+      FROM k"""),
+    tags = Set("pipeline"))
+
+  // ------------------------------------------------ leak-proof split
+
+  /** Train permille for [[splitLeakproof]] — 90/10. */
+  private[graft] val TRAIN_PERMILLE = 900
+
+  /** Leak-proof train/validation split: the routing coin is a hash of
+    * the CONTENT (md5 of the text), not of the doc_id — so byte-equal
+    * duplicates land on the same side by construction and a val
+    * example can never be an exact copy of a train example, no matter
+    * how the dedup stages upstream were configured. (Near-dups are the
+    * decontamination scan's job — [[decontaminate]]; this guard is the
+    * cheap invariant every split should carry.) Deterministic,
+    * map-only, zero shuffle; PipelineSpec plants cross-split exact
+    * dups and asserts they co-route. */
+  /** The split over an arbitrary (doc_id, lang, text) relation — the
+    * operator body of [[splitLeakproof]]. */
+  private[graft] def splitOf(docs: DataFrame): DataFrame = docs
+    .withColumn("cbucket",
+      pmod(conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"), lit(1000L)))
+    .select(col("doc_id"), col("lang"), col("cbucket"),
+      when(col("cbucket") < TRAIN_PERMILLE, "train").otherwise("val").as("split"))
+
+  val splitLeakproof: GQuery = GQuery(
+    "pipeline_split_leakproof",
+    (s, dir) => splitOf(graft.sources.Tables.documents(s, dir)),
+    Some(s"""
+      SELECT doc_id, lang, cbucket,
+             CASE WHEN cbucket < $TRAIN_PERMILLE THEN 'train' ELSE 'val' END AS split
+      FROM (SELECT doc_id, lang,
+                   ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS cbucket
+            FROM documents)"""),
+    tags = Set("pipeline"))
+
+  // ------------------------------------------------ token-budget mixing
+
+  /** Epoch cap for [[tokenMix]] — no source repeats more than this
+    * many times (the standard guard against tiny-source overfitting). */
+  private[graft] val MAX_EPOCHS = 4L
+
+  /** Token-budget domain mixing by REPETITION (the up-sampling dual of
+    * [[domainMix]]'s down-sampling): each source s with mixture weight
+    * w_s (same {1,2,3} stand-in config as domainMix) should contribute
+    * ~w_s/Σw of the training token stream, so its documents repeat for
+    * epochs_s = clamp(1, [[MAX_EPOCHS]], ⌊(w_s·T) / (Σw·tok_s)⌋)
+    * epochs — integer-exact, where T is total corpus tokens and tok_s
+    * the source's tokens; under-weight sources repeat, the anchor
+    * sources run once. Emits the materialized repeat stream (doc_id,
+    * source, epoch) a sequence-packer would consume. Cost: one
+    * per-source token aggregate (map-side combined) + a 1-row total,
+    * both broadcast back over the scan; the explode multiplies rows by
+    * ≤ [[MAX_EPOCHS]] — bounded amplification, no shuffle of the
+    * corpus itself. */
+  /** The repeat stream over an arbitrary (doc_id, source, text)
+    * relation with an arbitrary per-source weight column expression —
+    * the operator body of [[tokenMix]]. */
+  private[graft] def tokenMixOf(docs0: DataFrame, weight: org.apache.spark.sql.Column): DataFrame = {
+    val docs = docs0.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val src = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w", weight)
+    val tot = src.agg(sum(col("src_tokens")).as("tot_tokens"), sum(col("w")).as("tot_w"))
+    val plan = src.crossJoin(broadcast(tot))
+      .withColumn("epochs",
+        greatest(lit(1L), least(lit(MAX_EPOCHS),
+          expr("(w * tot_tokens) DIV (tot_w * src_tokens)"))))
+      .select(col("source"), col("epochs"))
+    docs.join(broadcast(plan), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+  }
+
+  val tokenMix: GQuery = GQuery(
+    "pipeline_token_mix",
+    (s, dir) => tokenMixOf(
+      graft.sources.Tables.documents(s, dir),
+      pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(3)) + 1),
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      src AS (SELECT source, sum(n_tokens) AS src_tokens,
+                     (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS w
+              FROM d GROUP BY source),
+      tot AS (SELECT sum(src_tokens) AS tot_tokens, sum(w) AS tot_w FROM src),
+      plan AS (SELECT source,
+                      CAST(greatest(1, least($MAX_EPOCHS,
+                        (w * tot_tokens) // (tot_w * src_tokens))) AS BIGINT) AS epochs
+               FROM src, tot)
+      SELECT d.doc_id, d.source, CAST(t.e AS BIGINT) AS epoch
+      FROM d JOIN plan USING (source), unnest(generate_series(1, plan.epochs)) AS t(e)"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
-    Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences)
+    Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
+      shuffleShard, splitLeakproof, tokenMix)
 }

@@ -222,6 +222,41 @@ object Streams {
       FROM ids GROUP BY user_id, sid"""),
     tags = Set("streaming"))
 
+  /** Sliding 1-hour window (30-minute slide) aggregate per event_type —
+    * each event lands in exactly 2 overlapping windows. Same
+    * batch/stream unification as [[windowedAgg]]: after
+    * `withWatermark` the identical transform runs on a stream with
+    * state bounded to the open windows. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("v_cents", cents)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v_cents")).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_cents"))
+
+  /** Streaming sliding counts: watermark → sliding window → agg. */
+  def slidingCounts(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    slidingAgg(stream.withWatermark("ts", watermark))
+
+  /** Batch-parity key for [[slidingAgg]]: the oracle replays the
+    * overlap by expanding every event into its two member windows
+    * (start = 30-min bucket, and that bucket minus one slide) — the
+    * definition of a 1h/30m sliding window, aligned to the same epoch
+    * origin as Spark's `window()`. */
+  val streamSlidingWindow: GQuery = GQuery(
+    "stream_sliding_window",
+    (s, dir) => slidingAgg(Tables.events(s, dir)),
+    Some("""
+      WITH e AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+               event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events, unnest([0, 1]) AS t(k))
+      SELECT window_start, event_type, count(*) AS cnt,
+             CAST(sum(v_cents) AS BIGINT) AS sum_cents
+      FROM e GROUP BY 1, 2"""),
+    tags = Set("streaming"))
+
   /** Batch-parity key for [[intervalJoin]] over the events table. */
   val streamIntervalJoin: GQuery = GQuery(
     "stream_interval_join",
@@ -239,5 +274,6 @@ object Streams {
     tags = Set("streaming"))
 
   def all: Seq[GQuery] =
-    Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow)
+    Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
+      streamSlidingWindow)
 }

@@ -358,6 +358,145 @@ object TextAnalysis {
       FROM w GROUP BY 1"""),
     tags = Set("text"))
 
+  // ------------------------------------------------- normalization
+
+  /** Dedup-prep text normalization — the canonicalization every
+    * pipeline runs BEFORE hashing so trivially-different bytes
+    * ("Hello,  world!" vs "hello world") collapse to one dedup key:
+    * lowercase → non-alphanumerics to spaces → whitespace collapse →
+    * trim, then the canonical md5 the downstream exact/near dedup
+    * stages key on. Emits the canonical hash plus audit columns
+    * (normalized length, whether normalization changed the doc) — the
+    * text itself stays in the scan, never in the output. Map-only,
+    * zero shuffle, whole-stage codegen end to end: the shape that
+    * costs one pass at 100 TB. */
+  private[graft] def normalizeOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm")).as("norm_md5"),
+        (col("norm") =!= col("text")).as("changed"))
+
+  val normalize: GQuery = GQuery(
+    "text_normalize",
+    (s, dir) => normalizeOf(Tables.documents(s, dir)),
+    Some("""
+      SELECT doc_id,
+             length(norm) AS norm_len,
+             md5(norm) AS norm_md5,
+             norm <> text AS changed
+      FROM (SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g')) AS norm
+            FROM documents)"""),
+    tags = Set("text"))
+
+  // --------------------------------------------------------- PII scrub
+
+  /** PII patterns shared by the Spark body and the DuckDB oracle —
+    * kept to syntax that Java regex and RE2 read identically. Applied
+    * in list order during redaction (emails first so their digit/dot
+    * runs can't be re-matched as IPs or id numbers). */
+  private[graft] val PII_PATTERNS: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("idnum", "[0-9]{6,}", "<NUM>"))
+
+  /** PII detection + redaction — the compliance pass a corpus runs
+    * before training: per-doc match counts for email / IPv4 /
+    * long-id-number patterns, a `pii_free` verdict, and the md5 of the
+    * fully redacted text (each match replaced by a typed placeholder,
+    * applied in [[PII_PATTERNS]] order) proving both engines redact to
+    * identical bytes. All regex built-ins (`regexp_count`,
+    * `regexp_replace`) — codegen'd, map-only, zero shuffle. */
+  private[graft] def piiOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = PII_PATTERNS.map { case (n, p, _) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
+    }
+    val redacted = PII_PATTERNS.foldLeft(col("text")) {
+      case (c, (_, p, tok)) => regexp_replace(c, p, tok)
+    }
+    // n_* references resolve as lateral column aliases within the select
+    docs.select(
+      col("doc_id") +: counts :+
+        (PII_PATTERNS.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _) === 0)
+          .as("pii_free") :+
+        md5(redacted).as("redacted_md5"): _*)
+  }
+
+  val pii: GQuery = GQuery(
+    "text_pii",
+    (s, dir) => piiOf(Tables.documents(s, dir)),
+    Some {
+      val counts = PII_PATTERNS.map { case (n, p, _) =>
+        s"len(regexp_extract_all(text, '$p')) AS n_$n"
+      }.mkString(",\n             ")
+      val redacted = PII_PATTERNS.foldLeft("text") {
+        case (c, (_, p, tok)) => s"regexp_replace($c, '$p', '$tok', 'g')"
+      }
+      val free = PII_PATTERNS.map { case (n, _, _) => s"n_$n" }.mkString(" + ")
+      s"""
+      SELECT doc_id, ${PII_PATTERNS.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+             $free = 0 AS pii_free, redacted_md5
+      FROM (SELECT doc_id,
+             $counts,
+             md5($redacted) AS redacted_md5
+      FROM documents)"""
+    },
+    tags = Set("text"))
+
+  // ----------------------------------------------------- boilerplate
+
+  /** A chunk is boilerplate when it appears in at least this many
+    * distinct documents. */
+  private[graft] val BOILER_DF = 3
+
+  /** Corpus-level boilerplate detection (the CCNet/C4 repeated-line
+    * filter, over [[graft.dedup.Dedup.PARA_W]]-word chunks since this
+    * corpus has no newline structure): a chunk appearing in ≥
+    * [[BOILER_DF]] distinct documents is boilerplate (nav bars,
+    * license headers, template footers), and every doc reports its
+    * chunk count, boilerplate-chunk count, and an integer-exact
+    * boilerplate permille — the signal a curation gate thresholds on.
+    * Differs from `dedup_paragraph` in WHAT it grades: prevalence
+    * (how much of this doc is corpus-wide template), not ownership
+    * (who keeps a duplicated chunk).
+    *
+    * Scale shape: one groupBy on the 16-byte chunk hash for the df
+    * table (map-side combined, no skew on a uniform key), one
+    * equi-join back (build side 1 row per distinct chunk — fan-out
+    * bounded by occurrences, never quadratic), one per-doc rollup. */
+  private[graft] def boilerplateOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ch = graft.dedup.Dedup.chunksOf(docs)
+    val df = ch.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    ch.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= BOILER_DF, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        expr("1000 * n_boiler DIV n_chunks").as("boiler_permille"))
+  }
+
+  val boilerplate: GQuery = GQuery(
+    "text_boilerplate",
+    (s, dir) => boilerplateOf(Tables.documents(s, dir)),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ch AS (SELECT doc_id,
+                    md5(array_to_string(w[(i * 24 + 1):(i * 24 + 24)], ' ')) AS h
+             FROM toks, unnest(generate_series(0, CAST(ceil(len(w) / 24.0) AS INT) - 1)) AS t(i)),
+      df AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN df >= $BOILER_DF THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             CAST(1000 * sum(CASE WHEN df >= $BOILER_DF THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+               AS boiler_permille
+      FROM ch JOIN df USING (h)
+      GROUP BY 1"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
-    Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy)
+    Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
+      normalize, pii, boilerplate)
 }

@@ -141,6 +141,74 @@ class PipelineSpec extends SparkSpecBase {
     assert(aliased == 0, s"$aliased pack_ids shared across (source, shard) groups")
   }
 
+  test("shuffle shard is deterministic with dense balanced shards of ceil(n/100)") {
+    val dir = TestSession.sfDir01
+    val a = SparkEntry.queries("pipeline_shuffle_shard")(spark, dir).cache()
+    val b = SparkEntry.queries("pipeline_shuffle_shard")(spark, dir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0) // reproducible
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    val nShards = (n + TrainingData.SHUFFLE_SHARD_DOCS - 1) / TrainingData.SHUFFLE_SHARD_DOCS
+    val per = a.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("mn"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("d"))
+      .collect()
+    assert(per.length == nShards, s"${per.length} shards, expected $nShards")
+    // positions are dense 1..c within every shard (a written shard file
+    // is a gapless sequence)
+    per.foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(1),
+        s"non-dense positions in shard ${r.getLong(0)}")
+    }
+    // uniform hash → no shard grossly overloaded
+    val mean = n.toDouble / nShards
+    per.foreach(r => assert(r.getLong(1) <= 2 * mean,
+      s"shard ${r.getLong(0)} holds ${r.getLong(1)} docs vs mean $mean"))
+    a.unpersist()
+  }
+
+  test("leak-proof split: byte-equal texts always co-route, split is ~train permille") {
+    import TestSession.spark.implicits._
+    // planted exact dups under distinct doc_ids: an id-keyed split
+    // could route them apart; the content-keyed split cannot
+    val dup = (1 to 30).map(i => s"w$i").mkString(" ")
+    val planted = ((1L to 40L).map(i => (i, "en", s"$dup tail$i")) ++
+      Seq((100L, "en", dup), (101L, "de", dup), (102L, "fr", dup)))
+      .toDF("doc_id", "lang", "text")
+    val sp = TrainingData.splitOf(planted)
+    val crossed = planted.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(sp, Seq("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(crossed == 0, s"$crossed duplicate-text groups straddle the split")
+    // real corpus: deterministic, and the 90/10 permille target holds
+    val dir = TestSession.sfDir01
+    val got = SparkEntry.queries("pipeline_split_leakproof")(spark, dir).cache()
+    val frac = got.filter(col("split") === "train").count().toDouble / got.count()
+    assert(frac > 0.85 && frac < 0.95, s"train fraction $frac vs target 0.9")
+    // every row's split agrees with its emitted content bucket
+    assert(got.filter((col("cbucket") < TrainingData.TRAIN_PERMILLE) =!=
+      (col("split") === "train")).count() == 0)
+    got.unpersist()
+  }
+
+  test("token mix repeats under-weight sources toward target share, capped at MAX_EPOCHS") {
+    import TestSession.spark.implicits._
+    // srcA: 1000 tokens, srcB: 100 tokens, equal weight → T=1100, Σw=2:
+    // epochs_B = 1100 DIV 200 = 5 → capped 4; epochs_A = 1100 DIV 2000 = 0 → floor 1
+    val tA = (1 to 1000).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 100).map(i => s"b$i").mkString(" ")
+    val d = Seq((1L, "srcA", tA), (2L, "srcB", tB)).toDF("doc_id", "source", "text")
+    val got = TrainingData.tokenMixOf(d, lit(1L))
+      .groupBy(col("doc_id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 4L), got.toString)
+    // real corpus: epochs bounded, (doc, epoch) unique, every doc present
+    val real = SparkEntry.queries("pipeline_token_mix")(spark, TestSession.sfDir01).cache()
+    val per = real.groupBy(col("doc_id")).agg(count(lit(1)).as("c"), countDistinct(col("epoch")).as("d"))
+    assert(per.filter(col("c") > TrainingData.MAX_EPOCHS || col("c") =!= col("d")).count() == 0)
+    assert(per.count() == graft.sources.Tables.documents(spark, TestSession.sfDir01).count())
+    real.unpersist()
+  }
+
   test("stratified sample is deterministic, honors per-lang rates, and keeps bucket < rate") {
     val dir = TestSession.sfDir01
     val a = SparkEntry.queries("pipeline_sample_stratified")(spark, dir)

@@ -41,6 +41,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exists(_.toString.contains("2024-01-01 10:00")), streamed.toString)
   }
 
+  test("slidingCounts through a MemoryStream equals the batch slidingAgg, two windows per event") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events: _*)
+    val q = Streams.slidingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("sl_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sl_out")
+      .select(col("window_start"), col("event_type"), col("cnt"), col("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    val batchDf = Streams.slidingAgg(events.toDF())
+    val batch = batchDf.collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+    // overlap accounting: each event is a member of exactly 2 windows
+    assert(batchDf.agg(sum(col("cnt"))).first.getLong(0) == 2L * events.size)
+    // the 10:05 click lands in both the 09:30 and 10:00 window starts
+    assert(batch.exists(_.toString.contains("2024-01-01 09:30")), batch.toString)
+    assert(batch.exists(_.toString.contains("2024-01-01 10:00")), batch.toString)
+  }
+
   test("dedupStream drops within-horizon duplicate texts across micro-batches") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext

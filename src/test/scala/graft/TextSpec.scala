@@ -59,6 +59,52 @@ class TextSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, 4L, 1L, 0.0), (2L, 4L, 2L, 1.0), (3L, 4L, 4L, 2.0)))
   }
 
+  test("normalization collapses case/punct/whitespace variants to one canonical hash") {
+    import TestSession.spark.implicits._
+    val d = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "already clean text"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.normalizeOf(d).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(got(0)._3 == got(1)._3, "variants must share the canonical hash")
+    assert(got(0)._2 == 11L && got(1)._2 == 11L)
+    assert(got(0)._4 && !got(1)._4 && !got(2)._4)
+  }
+
+  test("pii scrub counts each pattern once and redacts to the expected bytes") {
+    import TestSession.spark.implicits._
+    val d = Seq(
+      (1L, "contact bob.smith@example.com or 10.0.0.1 ref 12345678 done"),
+      (2L, "no pii in this document at all"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.piiOf(d).orderBy(col("doc_id")).collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3), got(0).getBoolean(4)) ==
+      ((1L, 1L, 1L, false)))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3), got(1).getBoolean(4)) ==
+      ((0L, 0L, 0L, true)))
+    val expectedMd5 = spark.sql(
+      "SELECT md5('contact <EMAIL> or <IP> ref <NUM> done')").first.getString(0)
+    assert(got(0).getString(5) == expectedMd5, "redaction bytes differ from expectation")
+  }
+
+  test("boilerplate flags chunks recurring in >= BOILER_DF docs, permille integer-exact") {
+    import TestSession.spark.implicits._
+    val shared = (1 to 24).map(i => s"s$i").mkString(" ") // df=3 → boilerplate
+    val pairOnly = (1 to 24).map(i => s"p$i").mkString(" ") // df=2 → not
+    def tail(d: Int) = (1 to 24).map(i => s"d${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared ${tail(1)}"), (2L, s"$shared ${tail(2)}"), (3L, s"$shared ${tail(3)}"),
+      (4L, s"$pairOnly ${tail(4)}"), (5L, s"$pairOnly ${tail(5)}"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.boilerplateOf(docs).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 500L), (2L, 2L, 1L, 500L), (3L, 2L, 1L, 500L),
+      (4L, 2L, 0L, 0L), (5L, 2L, 0L, 0L)))
+  }
+
   test("text_fingerprint output shape on the documents table") {
     val got = SparkEntry.queries("text_fingerprint")(spark, sfDir)
     val rows = got.collect()
