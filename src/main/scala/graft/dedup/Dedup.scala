@@ -990,7 +990,79 @@ object Dedup {
       FROM assign a JOIN sizes USING (c_id) LEFT JOIN dups d ON a.vec_id = d.vec_id"""),
     tags = Set("dedup"))
 
+  // ------------------------------------------- winnowing fingerprints
+
+  /** Fingerprints hotter than this document frequency are dropped from
+    * pair blocking (corpus-wide boilerplate k-grams carry no dedup
+    * signal) — the same heavy-hitter discipline as [[DF_CAP]]. */
+  private[graft] val FP_DF_CAP = 64
+
+  /** Winnowing-fingerprint near-dup pairs over an arbitrary
+    * (doc_id, text) relation — the operator body of
+    * [[fingerprintPairs]]. */
+  private[graft] def fingerprintPairsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val fp = docs
+      .select(col("doc_id"), explode(expr("winnow_fps(text, 8, 4)")).as("fp"))
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > FP_DF_CAP).select(col("fp"))
+    val cold = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val pairs = cold.as("a")
+      .join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), Seq("doc_b"))
+      .filter(col("shared") * 2 >= least(col("nfp_a"), col("nfp_b")))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("nfp_a"), col("nfp_b"))
+  }
+
+  /** MOSS-style near-dup detection on winnowing fingerprints: the
+    * `text_fingerprint` sets become the blocking key — two docs
+    * sharing ≥ half of the smaller doc's fingerprints are a near-dup
+    * pair. A third independent near-dup family (after shingle-Jaccard
+    * and MinHash/SimHash) with a different sensitivity profile:
+    * winnowing guarantees any shared run ≥ w+k-1 chars leaves a
+    * shared fingerprint, so it catches long verbatim spans that
+    * word-level shingles dilute.
+    *
+    * Scale shape: the pair join is blocked on individual fingerprints
+    * with the [[FP_DF_CAP]] heavy-hitter drop (broadcast anti-join),
+    * so no key fans out past ~cap²/2; the winnow density bounds
+    * fingerprints per doc at ~len/w. Same posture as
+    * [[ngramJaccard]] — no all-pairs stage exists. */
+  val fingerprintPairs: GQuery = GQuery(
+    "dedup_fingerprint",
+    (s, dir) => fingerprintPairsOf(Tables.documents(s, dir)),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform(range(length(text) - 7),
+                 i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT) AS kh
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(kh) - 3),
+                 j -> list_min(kh[j + 1:j + 4]))) AS fps
+        FROM h),
+      fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+      sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+      hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > $FP_DF_CAP),
+      cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, sa.nfp AS nfp_a, sb.nfp AS nfp_b
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE 2 * shared >= least(sa.nfp, sb.nfp)"""),
+    tags = Set("dedup"))
+
   def all: Seq[GQuery] =
     Seq(exact, incremental, paragraph, ngramJaccard, minhashLsh, simhash,
-      simhashPairs, components, embedding, semantic)
+      simhashPairs, components, embedding, semantic, fingerprintPairs)
 }

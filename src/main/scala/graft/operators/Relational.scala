@@ -543,6 +543,57 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** Distribution window functions: NTILE quartiles, percent_rank and
+    * cume_dist per event_type ordered by value — the ranking trio the
+    * §2.3 window keys didn't yet cover. Ties broken by event_id so the
+    * bucket boundaries are deterministic; the ratios are exact integer
+    * divisions rounded at 6 places, replayed identically by DuckDB's
+    * standard-semantics implementations. One shuffle on event_type;
+    * the partition count is bounded by the type cardinality — the skew
+    * caveat is documented on [[saltedAgg]], not re-solved here. */
+  val ntileOp: GQuery = GQuery(
+    "op_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+    Some("""
+      SELECT event_id, event_type,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""),
+    tags = Set("relational"))
+
+  /** [[Skew.saltedJoin]] as a keyed operator: the events fact joined
+    * to its 5-row event_type dim with the big side salted 16 ways and
+    * the dim replicated — the reduce-side JOIN-skew dual of
+    * [[saltedAgg]] (5 join keys over the whole stream would otherwise
+    * hash every row to 5 reducer lineages at 100 TB). Results are
+    * salt-invariant by construction (SkewSpec pins equality with the
+    * plain join); the oracle replays the equivalent unsalted join. */
+  val saltedJoinOp: GQuery = GQuery(
+    "op_salted_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("tcode", length(col("event_type")).cast("long"))
+      Skew.saltedJoin(ev, dim, "event_type")
+        .select(col("event_id"), col("event_type"), col("tcode"))
+    },
+    Some("""
+      WITH dim AS (SELECT DISTINCT event_type,
+                          CAST(length(event_type) AS BIGINT) AS tcode
+                   FROM events)
+      SELECT e.event_id, e.event_type, d.tcode
+      FROM events e JOIN dim d USING (event_type)"""),
+    tags = Set("relational"))
+
   /** Bits per Z-order dimension (8 → 256 buckets per dim, 16-bit key). */
   private[graft] val Z_BITS = 8
 
@@ -588,5 +639,6 @@ object Relational {
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
-    rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster)
+    rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
+    ntileOp, saltedJoinOp)
 }

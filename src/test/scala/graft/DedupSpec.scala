@@ -286,4 +286,21 @@ class DedupSpec extends SparkSpecBase {
     val r = Dedup.paragraphStats(d).collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 0L, 60L)))
   }
+
+  test("fingerprint pairs catch verbatim-span near-dups and skip unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+    val nearDup = base.replace("lazy", "idle") // one word differs → long shared spans
+    val unrelated = "completely different content about distributed query engines and shuffle partitioning strategies"
+    val got = Dedup.fingerprintPairsOf(
+      docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"identical docs must pair: $got")
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"near-dup with shared spans must pair: $got")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $got")
+    // the shared count respects the >= half-of-smaller-set contract
+    Dedup.fingerprintPairsOf(docs(1L -> base, 3L -> nearDup)).collect().foreach { r =>
+      assert(2 * r.getLong(2) >= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
 }
