@@ -689,6 +689,18 @@ object Dedup {
           (col("doc_id") === col("component")).as("is_rep"))
     },
     Some(s"""
+      $componentsOracleChain
+      SELECT doc AS doc_id, min(lab) AS component, min(lab) = doc AS is_rep
+      FROM reach GROUP BY doc"""),
+    tags = Set("dedup"))
+
+  /** The full DuckDB replay of the dup-cluster chain (signatures →
+    * banding → capped candidates → hamming verify → recursive-CTE
+    * closure), up to and including `reach(doc, lab)` — shared by the
+    * [[components]] oracle and downstream consumers of the cluster
+    * labels (pipeline_split_cluster). A `def` so declaration order
+    * doesn't matter during object init. */
+  private[graft] def componentsOracleChain: String = s"""
       WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, t AS tok
                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
                     WHERE length(t) > 0),
@@ -725,10 +737,7 @@ object Dedup {
         SELECT doc_id AS doc, doc_id AS lab FROM documents
         UNION
         SELECT u.b AS doc, r.lab FROM reach r JOIN und u ON u.a = r.doc
-      )
-      SELECT doc AS doc_id, min(lab) AS component, min(lab) = doc AS is_rep
-      FROM reach GROUP BY doc"""),
-    tags = Set("dedup"))
+      )"""
 
   /** (doc_id, simhash, band0..band3) — reusable signature builder. */
   private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {

@@ -594,6 +594,34 @@ object Relational {
       FROM events e JOIN dim d USING (event_type)"""),
     tags = Set("relational"))
 
+  /** Correlated LATERAL derived table — the SQL front-door spelling of
+    * top-k-per-group: for every nation, its top-2 customers by account
+    * balance from a LATERAL subquery with ORDER BY + LIMIT. Catalyst
+    * decorrelates the LIMIT via a partitioned rank filter, so the plan
+    * is the same window + filter as [[topkPerGroup]] — one shuffle,
+    * no per-row re-execution — while the query text stays the
+    * SQL-standard lateral join a reference user writes. DuckDB runs
+    * the identical text. */
+  val lateralJoin: GQuery = GQuery(
+    "op_lateral_join",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
+    },
+    Some("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""),
+    tags = Set("relational"))
+
   /** Bits per Z-order dimension (8 → 256 buckets per dim, 16-bit key). */
   private[graft] val Z_BITS = 8
 
@@ -640,5 +668,5 @@ object Relational {
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
-    ntileOp, saltedJoinOp)
+    ntileOp, saltedJoinOp, lateralJoin)
 }

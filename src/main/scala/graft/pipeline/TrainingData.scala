@@ -439,6 +439,35 @@ object TrainingData {
             FROM documents)"""),
     tags = Set("pipeline"))
 
+  /** Cluster-aware train/val split — [[splitLeakproof]]'s stronger
+    * sibling: the routing key is the doc's NEAR-DUP CLUSTER id (the
+    * `dedup_components` label — connected components of the simhash
+    * near-dup graph), hashed to a permille coin. Byte-equal dups,
+    * near-dups, and transitive chains of near-dups all share a
+    * component, so none of them can straddle the split — the guard a
+    * careful pipeline actually wants, since a paraphrase-level copy in
+    * val leaks almost as much as a byte copy. Cost is the components
+    * computation itself (the engine's priciest key) plus one map; the
+    * DuckDB oracle replays the whole chain — signatures, banding,
+    * hamming verify, recursive closure — then the same coin. */
+  val splitCluster: GQuery = GQuery(
+    "pipeline_split_cluster",
+    (s, dir) => Dedup.components.build(s, dir)
+      .withColumn("cbucket",
+        pmod(conv(substring(md5(col("component").cast("string")), 1, 6), 16, 10).cast("long"),
+          lit(1000L)))
+      .select(col("doc_id"), col("component"),
+        when(col("cbucket") < TRAIN_PERMILLE, "train").otherwise("val").as("split")),
+    Some(s"""
+      ${Dedup.componentsOracleChain},
+      comp AS (SELECT doc AS doc_id, min(lab) AS component FROM reach GROUP BY doc)
+      SELECT doc_id, component,
+             CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 6))::BIGINT % 1000
+                       < $TRAIN_PERMILLE
+                  THEN 'train' ELSE 'val' END AS split
+      FROM comp"""),
+    tags = Set("pipeline"))
+
   // ------------------------------------------------ token-budget mixing
 
   /** Epoch cap for [[tokenMix]] — no source repeats more than this
@@ -498,5 +527,5 @@ object TrainingData {
 
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
-      shuffleShard, splitLeakproof, tokenMix)
+      shuffleShard, splitLeakproof, splitCluster, tokenMix)
 }

@@ -191,6 +191,24 @@ class PipelineSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("cluster split co-routes near-dup pairs, not just byte dups") {
+    val dir = TestSession.sfDir01
+    val sp = SparkEntry.queries("pipeline_split_cluster")(spark, dir).cache()
+    // every simhash near-dup PAIR must land on one side of the split —
+    // the property the content-hash split cannot give
+    val pairs = SparkEntry.queries("dedup_simhash_pairs")(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val crossed = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossed == 0, s"$crossed near-dup pairs straddle the cluster split")
+    // total function: every doc routed exactly once
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    assert(sp.count() == n && sp.select(col("doc_id")).distinct().count() == n)
+    sp.unpersist()
+  }
+
   test("token mix repeats under-weight sources toward target share, capped at MAX_EPOCHS") {
     import TestSession.spark.implicits._
     // srcA: 1000 tokens, srcB: 100 tokens, equal weight → T=1100, Σw=2:
