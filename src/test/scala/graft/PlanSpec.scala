@@ -28,6 +28,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("map-only keys plan without any shuffle exchange") {
+    // these keys' scaladoc claims "map-only, zero shuffle" — pin it in
+    // the physical plan so a refactor that sneaks in an exchange fails
+    // here, not in a 100 TB run
+    val mapOnly = Seq(
+      "text_tokens", "text_quality", "text_langid", "text_entropy",
+      "text_normalize", "text_pii", "text_fingerprint",
+      "op_zorder_cluster", "pipeline_split_leakproof",
+      "pipeline_sample_stratified", "mm_metadata", "mm_resize", "mm_frame_sample")
+    mapOnly.foreach { k =>
+      val plan = Registry.byName(k).build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$k claims map-only but plans an Exchange")
+    }
+  }
+
   test("every registry query plans and has a non-empty schema") {
     Registry.all.foreach { q =>
       val df = q.build(spark, sfDir)
