@@ -119,8 +119,12 @@ object Ann {
   /** Oracle WITH-chain through `scored` — the full LSH pipeline
     * (quantize, hyperplane signs, banding, candidate join, exact
     * cosine), shared verbatim by the top-k and range-search oracles
-    * (they differ only in the final SELECT: rank vs threshold). */
-  private val lshScoredSql: String = s"""
+    * (they differ only in the final SELECT: rank vs threshold).
+    * `candFilter` appends a predicate to the candidate stage — the
+    * filtered-search oracle restricts candidates there, which is
+    * result-identical to the Spark side's pre-filtered corpus (band
+    * collision is a pairwise property of the vectors alone). */
+  private def lshScoredSqlWith(candFilter: String): String = s"""
       WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
                   FROM embeddings),
       norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
@@ -137,7 +141,8 @@ object Ann {
                 FROM codes, range(${HP / 4}) r(b)),
       qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < $N_QUERIES),
       cand AS (SELECT DISTINCT query_id, c.vec_id
-               FROM qb JOIN bands c USING (band, bkey) WHERE c.vec_id <> query_id),
+               FROM qb JOIN bands c USING (band, bkey)
+               WHERE c.vec_id <> query_id$candFilter),
       dots AS (SELECT query_id, cand.vec_id,
                       CAST(list_sum(list_transform(list_zip(qa.e, qc.e), p -> p[1] * p[2])) AS BIGINT) AS dot
                FROM cand JOIN qv qa ON query_id = qa.vec_id JOIN qv qc ON cand.vec_id = qc.vec_id),
@@ -145,6 +150,8 @@ object Ann {
                         round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
                  FROM dots JOIN norms nq ON query_id = nq.vec_id
                            JOIN norms nc ON dots.vec_id = nc.vec_id)"""
+
+  private val lshScoredSql: String = lshScoredSqlWith("")
 
   /** LSH-bucketed ANN — the scale path when both the query set and
     * the corpus are large. Both sides hash to 32 hyperplane-sign bits
@@ -190,6 +197,60 @@ object Ann {
       .filter(col("cosine") >= RANGE_TAU),
     Some(s"""$lshScoredSql
       SELECT query_id, vec_id, cosine FROM scored WHERE cosine >= $RANGE_TAU"""),
+    tags = Set("ann"))
+
+  // ------------------------------------------------ filtered search
+
+  /** Filtered vector search — top-k among corpus vectors satisfying a
+    * metadata predicate (here: even `label`), the retrieval shape
+    * every production vector store serves ("nearest docs IN this
+    * collection / WITH this license"). Strategy is PRE-filter: the
+    * predicate is applied to the corpus before the band index is
+    * built, so the index holds only eligible vectors and the
+    * candidate join never touches ineligible ones — at 100 TB this is
+    * the difference between an index over the slice and post-filtering
+    * a top-k that may return fewer than k survivors. Queries
+    * themselves are exempt from the predicate (you search FROM any
+    * vector INTO the slice). The oracle restricts the candidate stage
+    * instead — result-identical, since band collision is a pairwise
+    * property of the vectors — so the hash check covers the whole
+    * filtered pipeline. */
+  val filteredTopk: GQuery = GQuery(
+    "ann_filtered_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.select(col("vec_id"), quant.as("e"))
+      val norms = vecs.select(col("vec_id"), expr("dot_long(e, e)").as("nn"))
+      val qv = vecs.filter(col("vec_id") < N_QUERIES)
+      val cvecs = emb.filter(pmod(col("label"), lit(2)) === 0)
+        .select(col("vec_id"), quant.as("e"))
+      val qb = signBands(qv, s)
+        .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
+      val cb = signBands(cvecs, s)
+      val cand = qb.join(cb, Seq("band", "bkey"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cand
+        .join(vecs.select(col("vec_id").as("q_id"), col("e").as("qe")),
+          col("query_id") === col("q_id")).drop("q_id")
+        .join(vecs.select(col("vec_id"), col("e").as("ce")), Seq("vec_id"))
+        .withColumn("dot", expr("dot_long(qe, ce)"))
+        .join(norms.select(col("vec_id").as("query_id"), col("nn").as("qn")), Seq("query_id"))
+        .join(norms.select(col("vec_id"), col("nn").as("cn")), Seq("vec_id"))
+        .withColumn("cosine", cosine(col("dot"), col("qn"), col("cn")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id"), col("rnk"), col("cosine"))
+    },
+    Some(s"""${lshScoredSqlWith(
+      "\n                 AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}
+      SELECT query_id, vec_id, rnk, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $K"""),
     tags = Set("ann"))
 
   /** `bitsPerBand` widens the [[signBands]] buckets (default 4 = the
@@ -664,5 +725,5 @@ object Ann {
     tags = Set("ann"))
 
   def all: Seq[GQuery] =
-    Seq(cosineTopk, lshTopk, rangeSearch, ivfTopk, ivfBalancedKey, pqTopk)
+    Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey, pqTopk)
 }

@@ -198,4 +198,23 @@ class AnnSpec extends SparkSpecBase {
       assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
     }
   }
+
+  test("filtered search returns only predicate-eligible vectors with dense ranks") {
+    val dir = TestSession.sfDir01
+    val got = SparkEntry.queries("ann_filtered_topk")(spark, dir).cache()
+    assert(got.count() > 0)
+    // every hit satisfies the metadata predicate (even label)
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val bad = got.join(labels, Seq("vec_id")).filter(pmod(col("label"), lit(2)) =!= 0).count()
+    assert(bad == 0, s"$bad hits violate the label predicate")
+    // ranks are dense 1..m per query
+    val loose = got.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("m"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      .filter(col("mx") =!= col("m") || col("mn") =!= 1L).count()
+    assert(loose == 0, "non-dense ranks in filtered top-k")
+    // the filtered hit set is a subset of the slice the unfiltered LSH
+    // search scores (same bands, smaller corpus side)
+    got.unpersist()
+  }
 }
