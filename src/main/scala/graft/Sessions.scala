@@ -18,6 +18,12 @@ object Sessions {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // config-time injection of graft's native expressions (dot_long,
+      // winnow_fps, char_entropy): every session derived from this
+      // context — including newSession() forks with fresh function
+      // registries — resolves them without a runtime register() call,
+      // which is how a cluster deployment ships them
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -622,6 +622,35 @@ object Relational {
                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""),
     tags = Set("relational"))
 
+  /** Semi-structured extraction over the events `props` JSON column —
+    * both production spellings: `from_json` with an explicit schema
+    * (the vectorizable path — parse once in the scan projection, typed
+    * struct out) and `get_json_object` path extraction (the ad-hoc
+    * path), plus `to_json` re-serialization. At 100 TB the from_json
+    * spelling is the one to ship: schema-on-read happens inside
+    * whole-stage codegen with no shuffle, and the struct feeds
+    * downstream pruning. The oracle replays extraction with DuckDB's
+    * JSON functions; both serializers emit compact `{"key":value}`. */
+  val jsonExtract: GQuery = GQuery(
+    "op_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .select(col("event_id"),
+          col("j.k").as("k"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          to_json(struct((col("j.k") * 2).as("k2"))).as("doubled")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+             '{"k2":' || CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 || '}' AS doubled
+      FROM events"""),
+    tags = Set("relational"))
+
   /** Bits per Z-order dimension (8 → 256 buckets per dim, 16-bit key). */
   private[graft] val Z_BITS = 8
 
@@ -668,5 +697,5 @@ object Relational {
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
-    ntileOp, saltedJoinOp, lateralJoin)
+    ntileOp, saltedJoinOp, lateralJoin, jsonExtract)
 }

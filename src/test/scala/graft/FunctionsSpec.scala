@@ -169,4 +169,19 @@ class FunctionsSpec extends SparkSpecBase {
     // id=1: a=[1,2,3,4], b=[2,3,4,5] → 2+6+12+20 = 40
     assert(df.filter("a[0] = 1").head().getLong(0) == 40L)
   }
+
+  test("GraftExtensions injects the native functions at session build, no runtime register") {
+    // spark.sql.extensions is a STATIC conf: Sessions.local sets it at
+    // context build, and a newSession() fork rebuilds its function
+    // registry from the extensions alone — so resolution here proves
+    // config-time injection, independent of any runtime register()
+    // calls other tests made on the parent session
+    val s2 = spark.newSession()
+    assert(s2 ne spark)
+    assert(s2.sql("SELECT dot_long(array(1L, 2L), array(3L, 4L)) AS d")
+      .head().getLong(0) == 11L)
+    assert(s2.sql("SELECT size(winnow_fps('the quick brown fox jumps over it', 8, 4)) AS n")
+      .head().getInt(0) > 0)
+    assert(s2.sql("SELECT char_entropy('abab').n_chars AS c").head().getLong(0) == 4L)
+  }
 }
