@@ -297,6 +297,54 @@ object Dedup {
       WHERE round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 4) >= $J_THRESHOLD"""),
     tags = Set("dedup"))
 
+  /** Containment threshold for [[containment]]: a doc 80% of whose
+    * informative shingles appear in another doc is (close to) a
+    * subset of it. */
+  private[graft] val CONT_THRESHOLD = 0.8
+
+  /** Asymmetric containment dedup — the subset-duplication detector
+    * symmetric Jaccard misses: when a short doc A is an excerpt of a
+    * long doc B (a quoted paragraph, a truncated mirror page),
+    * |A∩B|/|A∪B| is diluted by B's bulk but |A∩B|/|A| stays ≈ 1.
+    * Emits every ordered pair with either direction's containment ≥
+    * [[CONT_THRESHOLD]], both directions reported. Same df-capped
+    * shingle blocking join as [[ngramJaccard]] (one aggregation
+    * yields the intersection), so the scale posture is identical —
+    * only the normalization differs. */
+  val containment: GQuery = GQuery(
+    "dedup_containment",
+    (s, dir) => {
+      val shc = cappedShingles(shingles(Tables.documents(s, dir)))
+      val n = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = shc.as("a")
+        .join(shc.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("cont_a_in_b", round(col("inter").cast("double") / col("na.n_sh"), 4))
+        .withColumn("cont_b_in_a", round(col("inter").cast("double") / col("nb.n_sh"), 4))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= CONT_THRESHOLD)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("cont_a_in_b"), col("cont_b_in_a"))
+    },
+    Some(s"""
+      WITH ${shinglesSqlFrom("documents")},
+      hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $DF_CAP),
+      shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      nc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter,
+             round(CAST(inter AS DOUBLE) / na.n_sh, 4) AS cont_a_in_b,
+             round(CAST(inter AS DOUBLE) / nb.n_sh, 4) AS cont_b_in_a
+      FROM inter JOIN nc na ON doc_a = na.doc_id JOIN nc nb ON doc_b = nb.doc_id
+      WHERE greatest(round(CAST(inter AS DOUBLE) / na.n_sh, 4),
+                     round(CAST(inter AS DOUBLE) / nb.n_sh, 4)) >= $CONT_THRESHOLD"""),
+    tags = Set("dedup"))
+
   /** Candidate pairs from the df-capped shingle blocking join. */
   private[graft] def ngramCandidates(sh: DataFrame): DataFrame = {
     val shc = cappedShingles(sh)
@@ -1072,6 +1120,6 @@ object Dedup {
     tags = Set("dedup"))
 
   def all: Seq[GQuery] =
-    Seq(exact, incremental, paragraph, ngramJaccard, minhashLsh, simhash,
-      simhashPairs, components, embedding, semantic, fingerprintPairs)
+    Seq(exact, incremental, paragraph, ngramJaccard, containment, minhashLsh,
+      simhash, simhashPairs, components, embedding, semantic, fingerprintPairs)
 }

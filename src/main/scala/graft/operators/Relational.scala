@@ -651,6 +651,42 @@ object Relational {
       FROM events"""),
     tags = Set("relational"))
 
+  /** SCD2 (slowly-changing-dimension type 2) interval reconstruction
+    * from the events change stream: per user, keep only rows where
+    * `event_type` actually changed vs the previous event (change
+    * capture via lag), then stamp each surviving version with
+    * [valid_from, valid_to) from its own ts and the NEXT change's ts
+    * (lead), `is_current` on the open interval — the standard
+    * warehouse pattern for reconstructing a temporal dimension from a
+    * log. Two window passes over one shuffle on user_id; ties broken
+    * by event_id so both engines agree. */
+  val scd2Intervals: GQuery = GQuery(
+    "op_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM changes"""),
+    tags = Set("relational"))
+
   /** Bits per Z-order dimension (8 → 256 buckets per dim, 16-bit key). */
   private[graft] val Z_BITS = 8
 
@@ -697,5 +733,5 @@ object Relational {
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
-    ntileOp, saltedJoinOp, lateralJoin, jsonExtract)
+    ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals)
 }

@@ -287,6 +287,34 @@ class DedupSpec extends SparkSpecBase {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 0L, 60L)))
   }
 
+  test("containment catches an excerpt inside a longer doc that Jaccard misses") {
+    import TestSession.spark.implicits._
+    // A = 30-word excerpt, B = A plus 60 more words: containment(A in
+    // B) ≈ 1 but Jaccard ≈ 0.3 — below the near-dup threshold
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (31 to 90).map(i => s"w$i").mkString(" ")
+    val unrel = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, a), (2L, b), (3L, unrel)).toDF("doc_id", "text")
+    val shc = Dedup.cappedShingles(Dedup.shingles(d))
+    val n = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = shc.as("x").join(shc.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na.n_sh"), 4).as("cab"),
+        round(col("inter").cast("double") /
+          (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4).as("jac"))
+      .collect()
+    val ab = inter.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(ab.isDefined, "excerpt pair not even a candidate")
+    assert(ab.get.getDouble(2) >= Dedup.CONT_THRESHOLD, s"containment ${ab.get.getDouble(2)}")
+    assert(ab.get.getDouble(3) < 0.5, s"jaccard ${ab.get.getDouble(3)} not in the blind spot")
+    assert(!inter.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
   test("fingerprint pairs catch verbatim-span near-dups and skip unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
     val nearDup = base.replace("lazy", "idle") // one word differs → long shared spans
