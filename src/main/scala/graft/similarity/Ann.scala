@@ -724,6 +724,39 @@ object Ann {
       WHERE rnk <= $K"""),
     tags = Set("ann"))
 
+  // ---------------------------------------------------- centroids
+
+  /** Exact per-label embedding centroids in quantized integer space —
+    * the embedding-aggregation primitive behind k-means init,
+    * class prototypes, and SemDeDup's cluster means. Long format
+    * (label, dim, sum_q, n): integer sums of the ×10000-quantized
+    * components are order-independent and replay bit-for-bit in
+    * DuckDB (the mean is sum_q/n downstream — kept as exact integers
+    * here so the hash check never meets float summation order).
+    * Scale shape: posexplode widens ×64 then a map-side-combined
+    * aggregate collapses to |labels|×64 rows — the same partial+final
+    * shape as any groupBy sum, linear in the corpus. */
+  val centroids: GQuery = GQuery(
+    "ann_centroids",
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(quant).as(Seq("d", "v")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("v")).as("sum_q"), count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"), col("d").cast("long").as("d"),
+          col("sum_q"), col("n")),
+    Some("""
+      WITH q AS (SELECT label,
+                        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                 FROM embeddings),
+      x AS (SELECT label, d - 1 AS d, e[d] AS v
+            FROM q, unnest(generate_series(1, len(e))) t(d))
+      SELECT CAST(label AS BIGINT) AS label, CAST(d AS BIGINT) AS d,
+             CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n
+      FROM x GROUP BY 1, 2"""),
+    tags = Set("ann"))
+
   def all: Seq[GQuery] =
-    Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey, pqTopk)
+    Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey,
+      pqTopk, centroids)
 }

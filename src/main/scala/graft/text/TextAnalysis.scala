@@ -496,7 +496,37 @@ object TextAnalysis {
       GROUP BY 1"""),
     tags = Set("text"))
 
+  // ------------------------------------------------------ BPE mining
+
+  /** Top-50 adjacent-character-pair counts across the corpus — the
+    * hot inner loop of BPE tokenizer training (each merge round picks
+    * the most frequent adjacent pair; at corpus scale that is exactly
+    * this scan → explode → map-side-combined count → top-k). One
+    * merge round is the distributed primitive; the driver loop that
+    * re-runs it after each merge is orchestration, not a new plan
+    * shape. Deterministic tiebreak (count desc, pair asc) so the
+    * LIMIT cutoff is stable in both engines. */
+  val bpeMerges: GQuery = GQuery(
+    "text_bpe_merges",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50),
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (SELECT substr(w, i, 2) AS pair
+            FROM w, unnest(generate_series(1, length(w) - 1)) t(i)
+            WHERE length(w) >= 2)
+      SELECT pair, count(*) AS n FROM p GROUP BY 1
+      ORDER BY n DESC, pair LIMIT 50"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
-      normalize, pii, boilerplate)
+      normalize, pii, boilerplate, bpeMerges)
 }
