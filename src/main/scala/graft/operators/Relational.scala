@@ -728,10 +728,130 @@ object Relational {
       tags = Set("relational"))
   }
 
+  /** Time-series gap filling: build each user's complete day spine
+    * (`sequence` between their first and last active day, exploded),
+    * left-join the per-day aggregate back on, and forward-fill missing
+    * days with `last(..., ignoreNulls)` over an ordered window — the
+    * standard densify-then-ffill pattern behind daily metrics, feature
+    * tables, and balance snapshots. The spine is generated FROM the
+    * per-user min/max (one map-side-combined aggregate), never a
+    * cross-join against a global calendar, so spine size is
+    * Σ_user(span) and the fill window partitions by user_id — both
+    * grow linearly with users, never with the calendar. Exact integer
+    * cents keep the filled values engine-stable; the first spine day is
+    * a real active day by construction, so the fill never sees a
+    * leading null. */
+  val gapFill: GQuery = GQuery(
+    "op_gap_fill",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("v_cents", cents(col("value")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("v_cents")).as("day_cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          col("day_cents").isNull.as("is_gap"),
+          last(col("day_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, ts::DATE AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+        FROM events GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day)::TIMESTAMP, max(day)::TIMESTAMP,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id),
+      j AS (SELECT s.user_id, s.day, d.day_cents
+            FROM spine s LEFT JOIN daily d USING (user_id, day))
+      SELECT user_id, day, day_cents IS NULL AS is_gap,
+             last_value(day_cents IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      FROM j"""),
+    tags = Set("relational"))
+
+  /** Ordered conversion funnel (view → click → purchase): stage k's
+    * timestamp is the user's first qualifying event STRICTLY AFTER
+    * stage k-1 — the sequential-constraint semantics product funnels
+    * need (a click before the first view does not advance the
+    * funnel). Each stage is one filtered min-aggregate on user_id
+    * (map-side combined) plus an equi-join against the previous
+    * stage's 1-row-per-user frame — three linear passes, no window
+    * over the raw log and no per-user event sort. `stage` counts how
+    * deep the user got (1 = viewed only … 3 = full conversion). */
+  val funnel: GQuery = GQuery(
+    "op_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT user_id, t_view, t_click, t_purchase,
+             CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT AS BIGINT) AS stage
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
+    tags = Set("relational"))
+
+  /** Cohort retention: users are cohorted by first active day, then
+    * every (cohort_day, day_offset) cell counts the cohort's users
+    * active that many days later — the triangle matrix behind every
+    * retention curve. `act` is the DISTINCT (user, day) activity set
+    * (one dedup shuffle keyed by user — bounded by users × span, far
+    * smaller than the raw log), cohorts are a map-side-combined min
+    * per user, and the join attaches a 1-row frame on the unique
+    * user_id, so nothing here fans out. The output is cohorts × spans
+    * — tiny at any corpus size. */
+  val retentionCohort: GQuery = GQuery(
+    "op_retention_cohort",
+    (s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""
+      WITH act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+      SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+             count(*) AS n_users
+      FROM act JOIN cohort USING (user_id) GROUP BY 1, 2"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
-    ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals)
+    ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
+    gapFill, funnel, retentionCohort)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the time-series / product-analytics trio
+  * (op_gap_fill, op_funnel, op_retention_cohort) that the value-hash
+  * oracle alone would not explain: spine contiguity, sequential
+  * funnel constraints, cohort-cell consistency. */
+class AnalyticsSpec extends SparkSpecBase {
+
+  test("gap_fill emits one contiguous day per user between first and last active day") {
+    val got = SparkEntry.queries("op_gap_fill")(spark, sfDir).cache()
+    try {
+      // spine covers [min, max] with no holes: rows per user == span days
+      val bad = got.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+        .filter(col("n") =!= col("span"))
+      assert(bad.isEmpty, "spine has holes or duplicate days")
+      // forward fill: never null (first spine day is active), and equals
+      // the day's own aggregate on non-gap days
+      assert(got.filter(col("filled_cents").isNull).isEmpty)
+      val e = sources.Tables.events(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("v_cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .groupBy("user_id", "day").agg(sum("v_cents").as("expect"))
+      val mismatch = got.filter(!col("is_gap"))
+        .join(e, Seq("user_id", "day"))
+        .filter(col("filled_cents") =!= col("expect"))
+      assert(mismatch.isEmpty, "non-gap day filled with wrong value")
+    } finally got.unpersist()
+  }
+
+  test("funnel stages are strictly ordered and stage counts nullness") {
+    val got = SparkEntry.queries("op_funnel")(spark, sfDir).cache()
+    try {
+      assert(got.filter(col("t_click").isNotNull && col("t_click") <= col("t_view")).isEmpty)
+      assert(got.filter(col("t_purchase").isNotNull && col("t_purchase") <= col("t_click")).isEmpty)
+      val wrongStage = got.filter(
+        col("stage") =!= (lit(1)
+          + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)))
+      assert(wrongStage.isEmpty)
+      // a purchase can never be reached without a click (chained joins)
+      assert(got.filter(col("t_purchase").isNotNull && col("t_click").isNull).isEmpty)
+    } finally got.unpersist()
+  }
+
+  test("retention offset-0 cell equals cohort size and offsets are non-negative") {
+    val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
+    try {
+      assert(got.filter(col("day_offset") < 0).isEmpty)
+      // every user is active on their own cohort day, so the offset-0
+      // cell must count the whole cohort
+      val cohortSize = sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        .groupBy("cohort_day").agg(count(lit(1)).as("expect"))
+      val zero = got.filter(col("day_offset") === 0)
+      val bad = zero.join(cohortSize, Seq("cohort_day"), "full")
+        .filter(col("n_users").isNull || col("expect").isNull ||
+          col("n_users") =!= col("expect"))
+      assert(bad.isEmpty, "offset-0 retention cell != cohort size")
+    } finally got.unpersist()
+  }
+}
