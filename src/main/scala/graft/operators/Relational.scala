@@ -847,11 +847,77 @@ object Relational {
       FROM act JOIN cohort USING (user_id) GROUP BY 1, 2"""),
     tags = Set("relational"))
 
+  /** Equi-width histogram of order totals in pure integer bucket math:
+    * bucket = min(cents DIV width, n_buckets-1) — one map-side-combined
+    * aggregate over the scan, the profiling primitive behind every
+    * numeric-distribution dashboard. The bucket id is computed in the
+    * scan projection (codegen), so the shuffle carries at most
+    * n_buckets × partitions rows. Top bucket is open-ended (clamped),
+    * the standard histogram tail rule. */
+  val histogram: GQuery = {
+    val widthCents = 2500000L // $25k buckets
+    val nBuckets = 20
+    GQuery(
+      "op_histogram",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .withColumn("cents", cents(col("o_totalprice")))
+          .withColumn("bucket",
+            least(expr(s"cents DIV ${widthCents}L"), lit(nBuckets - 1L)).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("sum_cents"))
+          .withColumn("bucket_lo_cents", (col("bucket") * widthCents).cast("long")),
+      Some(s"""
+        SELECT bucket, count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(bucket * $widthCents AS BIGINT) AS bucket_lo_cents
+        FROM (SELECT CAST(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // $widthCents,
+                                ${nBuckets - 1}) AS BIGINT) AS bucket,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY bucket"""),
+      tags = Set("relational"))
+  }
+
+  /** Arg-extremum aggregates (`min_by`/`max_by`): per event type, WHICH
+    * event carried the smallest/largest value — one hash aggregate, no
+    * window and no join-back (the two common slower spellings). The
+    * ordering key is made unique by fusing cents with the unique
+    * event_id into one 64-bit composite (cents ≤ ~10⁴ here, and the
+    * 10⁷ stride keeps the fusion collision-free up to 10⁷ events per
+    * value — beyond that widen the stride), so both engines' otherwise
+    * tie-arbitrary arg-extremum picks the same row deterministically. */
+  val minmaxBy: GQuery = GQuery(
+    "op_minmax_by",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .withColumn("key", col("v_cents") * lit(10000000L) + col("event_id"))
+      e.groupBy(col("event_type"))
+        .agg(max_by(col("event_id"), col("key")).as("max_event_id"),
+          max(col("v_cents")).as("max_cents"),
+          min_by(col("event_id"), col("key")).as("min_event_id"),
+          min(col("v_cents")).as("min_cents"))
+    },
+    Some("""
+      SELECT event_type,
+             arg_max(event_id, key) AS max_event_id,
+             CAST(max(v_cents) AS BIGINT) AS max_cents,
+             arg_min(event_id, key) AS min_event_id,
+             CAST(min(v_cents) AS BIGINT) AS min_cents
+      FROM (SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000000 + event_id AS key
+            FROM events)
+      GROUP BY event_type"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
-    gapFill, funnel, retentionCohort)
+    gapFill, funnel, retentionCohort, histogram, minmaxBy)
 }

@@ -526,7 +526,62 @@ object TextAnalysis {
       ORDER BY n DESC, pair LIMIT 50"""),
     tags = Set("text"))
 
+  /** TF-IDF keyword extraction: each document's top-3 terms by
+    * tf × ⌊log₂⌋-idf, the classic summarization/tagging primitive.
+    * idf is integer-exact bit-length arithmetic (bitlen(N) −
+    * bitlen(df), the same trick as [[rarity]]/[[lmScore]]) so the
+    * DuckDB oracle replays the weights bit-for-bit; ties break on the
+    * term itself so the per-doc top-3 cutoff is engine-stable.
+    *
+    * Scale shape: tf is one shuffle keyed by (doc_id, term) — the doc
+    * id in the key absorbs stop-word skew; df is the same df-table
+    * aggregate as [[rarity]]; N is a 1-row broadcast; the final top-3
+    * is a window partitioned by doc_id over the ALREADY-aggregated
+    * (doc, term) frame (≪ the occurrence stream), never the raw
+    * corpus. Everything linear. */
+  val keywords: GQuery = GQuery(
+    "text_keywords",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val occ = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = occ.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = occ.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val weighted = tf.join(df, "w")
+        .crossJoin(broadcast(n))
+        .withColumn("weight",
+          (col("tf") * (length(conv(col("n_docs"), 10, 2))
+            - length(conv(col("df"), 10, 2)))).cast("long"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("w"))
+      weighted
+        .withColumn("rn", row_number().over(byDoc).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("w").as("keyword"), col("tf"), col("weight"), col("rn"))
+    },
+    Some("""
+      WITH occ AS (SELECT doc_id, t AS w
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM occ GROUP BY 1, 2),
+      df AS (SELECT w, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, w FROM occ) GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      wt AS (SELECT doc_id, w, tf,
+                    CAST(tf * (length(printf('%b', n_docs))
+                               - length(printf('%b', df))) AS BIGINT) AS weight
+             FROM tf JOIN df USING (w) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY weight DESC, w) AS rn
+            FROM wt)
+      SELECT doc_id, w AS keyword, tf, weight, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 3"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
-      normalize, pii, boilerplate, bpeMerges)
+      normalize, pii, boilerplate, bpeMerges, keywords)
 }

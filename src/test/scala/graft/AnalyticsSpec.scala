@@ -46,6 +46,41 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally got.unpersist()
   }
 
+  test("histogram buckets partition the orders table exactly") {
+    val got = SparkEntry.queries("op_histogram")(spark, sfDir).cache()
+    try {
+      val total = got.agg(sum("n_orders")).head.getLong(0)
+      val orders = sources.Tables.orders(spark, sfDir).count()
+      assert(total == orders, "histogram cells must partition the table")
+      assert(got.filter(col("bucket") < 0 || col("bucket") > 19).isEmpty)
+      assert(got.filter(col("bucket_lo_cents") =!= col("bucket") * 2500000L).isEmpty)
+    } finally got.unpersist()
+  }
+
+  test("minmax_by arg-extremum rows carry the group's actual extreme value") {
+    val got = SparkEntry.queries("op_minmax_by")(spark, sfDir)
+    val e = sources.Tables.events(spark, sfDir)
+      .select(col("event_id").as("max_event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+    val bad = got.join(e, "max_event_id").filter(col("v") =!= col("max_cents"))
+    assert(bad.isEmpty, "max_by returned an event that doesn't carry max value")
+  }
+
+  test("keywords emits at most 3 ranked terms per doc, weights non-increasing") {
+    val got = SparkEntry.queries("text_keywords")(spark, sfDir).cache()
+    try {
+      assert(got.filter(col("rn") < 1 || col("rn") > 3).isEmpty)
+      val over = got.groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 3)
+      assert(over.isEmpty)
+      // within a doc, weight must be non-increasing in rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("rn")
+      val nonMono = got.withColumn("prev", lag(col("weight"), 1).over(w))
+        .filter(col("prev").isNotNull && col("weight") > col("prev"))
+      assert(nonMono.isEmpty)
+    } finally got.unpersist()
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {

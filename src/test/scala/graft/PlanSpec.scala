@@ -20,7 +20,8 @@ class PlanSpec extends SparkSpecBase {
       "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_balanced", "dedup_semantic",
       "gen_partsupp_join", "gen_source_format", "gen_aux_profile",
-      "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix")
+      "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix",
+      "text_keywords")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
