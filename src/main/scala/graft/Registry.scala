@@ -23,6 +23,7 @@ object Registry {
       text.TextAnalysis.all ++
       dedup.Dedup.all ++
       similarity.Ann.all ++
+      graph.Graph.all ++
       multimodal.Multimodal.all ++
       streaming.Streams.all ++
       tpch.TpchGen.all ++
