@@ -525,7 +525,61 @@ object TrainingData {
       FROM d JOIN plan USING (source), unnest(generate_series(1, plan.epochs)) AS t(e)"""),
     tags = Set("pipeline"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus bigram LM
+    * ([[graft.text.TextAnalysis.lmScoreFrom]] — integer-exact
+    * bit-length surprisal), then cut each LANGUAGE into equal-size
+    * head/middle/tail terciles by pseudo-perplexity — the standard
+    * keep-head/-middle, drop-tail quality partition for web corpora.
+    * `ntile(3)` runs per-language over the per-doc score frame (one
+    * row per doc, ≪ the occurrence stream) with doc_id tiebreak, so
+    * the cut is deterministic in both engines. Docs with <2 tokens
+    * have no bigrams and carry no bucket (the lmScore contract,
+    * mirrored by the oracle).
+    *
+    * Scale shape: scoring is the lmScore plan (two map-side-combined
+    * model aggregates + a skew-safe join-back); the tercile window
+    * shuffles one row per doc keyed by lang — ~20 partitions of
+    * n_docs/20 rows each, each sorted locally. At a 100 TB corpus the
+    * per-language sort is the only super-linear stage; CCNet itself
+    * shards this by (lang, hash-bucket) and takes per-shard quantiles
+    * — the same relaxation applies here if a single language's doc
+    * count outgrows a partition. */
+  val ccnetBucket: GQuery = GQuery(
+    "pipeline_ccnet_bucket",
+    (s, dir) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+      val scored = graft.text.TextAnalysis.lmScoreFrom(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("mean_bits"), col("doc_id"))
+      scored
+        .withColumn("bucket", ntile(3).over(byLang).cast("long"))
+        .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("bucket").cast("int")).as("bucket_name"))
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS w
+                  FROM documents),
+      occ AS (SELECT doc_id,
+                     unnest(w[1:len(w) - 1]) AS w1,
+                     unnest(w[2:len(w)]) AS w2
+              FROM ws WHERE len(w) >= 2),
+      ctx AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+      big AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+      sc AS (SELECT doc_id, round(avg(length(printf('%b', c1)) - length(printf('%b', c2))), 4) AS mean_bits
+             FROM occ JOIN ctx USING (w1) JOIN big USING (w1, w2) GROUP BY 1),
+      ranked AS (SELECT s.doc_id, d.lang, s.mean_bits,
+                        ntile(3) OVER (PARTITION BY d.lang
+                                       ORDER BY s.mean_bits, s.doc_id) AS bucket
+                 FROM sc s JOIN documents d USING (doc_id))
+      SELECT doc_id, lang, mean_bits, CAST(bucket AS BIGINT) AS bucket,
+             CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name
+      FROM ranked"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
-      shuffleShard, splitLeakproof, splitCluster, tokenMix)
+      shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket)
 }

@@ -273,7 +273,55 @@ object Streams {
         AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR"""),
     tags = Set("streaming"))
 
+  /** Per-(window, user) activity counts — the streaming-safe half of
+    * windowed top-k. Works on batch and (after `withWatermark`)
+    * streaming input unchanged. */
+  def userWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("cnt"))
+
+  /** Streaming spelling: watermark-bounded counts in append mode —
+    * each (window, user) row is emitted once, when the watermark
+    * closes its window. Ranking is NOT streamable (a rank can change
+    * until the window closes), so the production pattern is exactly
+    * this split: stream the additive aggregate, rank the closed
+    * windows downstream (foreachBatch or a batch job over the sink) —
+    * which is what [[topkPerWindow]] does and the parity key checks. */
+  def userWindowCountsStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    userWindowCounts(stream.withWatermark("ts", watermark))
+
+  /** The downstream rank over closed windows: top-k users per window
+    * by count, ties on user_id. The window partitions by window_start
+    * over the ALREADY-aggregated (window, user) frame — ≪ the raw
+    * stream, never a global sort. */
+  def topkPerWindow(events: DataFrame, k: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("cnt").desc, col("user_id"))
+    userWindowCounts(events)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Batch-parity key for the windowed top-k split
+    * ([[userWindowCountsStream]] → [[topkPerWindow]]). */
+  val streamTopk: GQuery = GQuery(
+    "stream_topk",
+    (s, dir) => topkPerWindow(Tables.events(s, dir)),
+    Some("""
+      WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                        user_id, count(*) AS cnt
+                 FROM events GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT window_start, user_id, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM c)
+      WHERE rn <= 2"""),
+    tags = Set("streaming"))
+
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
-      streamSlidingWindow)
+      streamSlidingWindow, streamTopk)
 }

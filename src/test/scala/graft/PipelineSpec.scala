@@ -253,4 +253,27 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(bad == 0, s"$bad rows with bucket >= their lang rate")
   }
+
+  test("ccnet buckets are balanced terciles per language, ordered by score") {
+    val got = SparkEntry.queries("pipeline_ccnet_bucket")(spark, sfDir).cache()
+    try {
+      // ntile balance: within a language, bucket sizes differ by at most 1
+      val sizes = got.groupBy("lang", "bucket").count()
+      val spread = sizes.groupBy("lang")
+        .agg(max(col("count")).as("mx"), min(col("count")).as("mn"))
+        .filter(col("mx") - col("mn") > 1)
+      assert(spread.isEmpty, "tercile sizes differ by >1 within a language")
+      // ordering: head scores never exceed tail scores within a language
+      val cuts = got.groupBy("lang").agg(
+        max(when(col("bucket") === 1, col("mean_bits"))).as("head_max"),
+        min(when(col("bucket") === 3, col("mean_bits"))).as("tail_min"))
+      assert(cuts.filter(col("head_max") > col("tail_min")).isEmpty)
+      // names map 1/2/3 -> head/middle/tail
+      val badName = got.filter(
+        (col("bucket") === 1 && col("bucket_name") =!= "head") ||
+        (col("bucket") === 2 && col("bucket_name") =!= "middle") ||
+        (col("bucket") === 3 && col("bucket_name") =!= "tail"))
+      assert(badName.isEmpty)
+    } finally got.unpersist()
+  }
 }

@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("userWindowCounts through a MemoryStream feeds topkPerWindow identically to batch") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(events: _*)
+    val q = Streams.userWindowCountsStream(mem.toDF()).writeStream
+      .format("memory").queryName("uwc_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("uwc_out")
+      .select(col("window_start"), col("user_id"), col("cnt"))
+      .collect().map(_.toSeq).toSet
+    val batchCounts = Streams.userWindowCounts(events.toDF())
+      .collect().map(_.toSeq).toSet
+    // closed windows' counts match the batch twin exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchCounts), s"streamed=$streamed batch=$batchCounts")
+    // the downstream rank (the non-streamable half) on the batch twin:
+    // user 1 wins the 10:00 window with 2 clicks over user 2's 1
+    val top = Streams.topkPerWindow(events.toDF())
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .orderBy(col("rn")).collect()
+    assert(top.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)), top.mkString(", "))
+  }
+
   test("intervalJoin pairs clicks with same-user views inside the hour, through micro-batches") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
