@@ -913,11 +913,86 @@ object Relational {
       GROUP BY event_type"""),
     tags = Set("relational"))
 
+  /** Interval coalescing (merge overlapping intervals): each event
+    * claims [ts, ts+30min); per user, runs of transitively-overlapping
+    * intervals merge into one — the interval-union dual of
+    * [[sessionize]] (which chains POINTS by gap; this one merges
+    * SPANS, where an interval can bridge two others it doesn't touch
+    * individually). The classic spelling: a new group starts exactly
+    * when an interval's start clears the running max of all previous
+    * ends (window max over unbounded-preceding-to-1-preceding), then a
+    * running sum of those break flags labels the islands. Two window
+    * passes over one shuffle on user_id; (s, event_id) ordering makes
+    * tied starts deterministic in both engines. */
+  val mergeIntervals: GQuery = GQuery(
+    "op_merge_intervals",
+    (s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"), col("event_id"))
+      val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max_e", max(col("e")).over(wPrev))
+        .withColumn("brk",
+          when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1).otherwise(0))
+        .withColumn("grp", sum(col("brk")).over(wRun).cast("long"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("s")).as("iv_start"), max(col("e")).as("iv_end"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e, event_id
+                  FROM events),
+      m AS (SELECT user_id, s, e, event_id,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+            FROM iv),
+      b AS (SELECT user_id, s, e, event_id,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS brk
+            FROM m),
+      g AS (SELECT user_id, s, e,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM b)
+      SELECT user_id, CAST(grp AS BIGINT) AS grp, min(s) AS iv_start,
+             max(e) AS iv_end, count(*) AS n_events
+      FROM g GROUP BY 1, 2"""),
+    tags = Set("relational"))
+
+  /** CDC materialization: collapse a change stream to current state —
+    * per key (user), the LAST change wins (ts, then event_id), and a
+    * terminal delete ('error' here) removes the key entirely. One
+    * window rank per key + a filter; the warehouse pattern for
+    * applying an upsert/delete log to a snapshot. Partitioned by the
+    * key → single shuffle, no global sort; at 100 TB the same plan
+    * runs per key-range and is exactly how MERGE INTO engines
+    * sequence late changes. */
+  val cdcApply: GQuery = GQuery(
+    "op_cdc_apply",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"), col("v_cents"))
+    },
+    Some("""
+      WITH last AS (
+        SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_type, v_cents
+      FROM last WHERE rn = 1 AND event_type <> 'error'"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
     distinctOp, explodedAgg, percentiles, approxQuantile, conditionalAgg,
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
-    gapFill, funnel, retentionCohort, histogram, minmaxBy)
+    gapFill, funnel, retentionCohort, histogram, minmaxBy,
+    mergeIntervals, cdcApply)
 }

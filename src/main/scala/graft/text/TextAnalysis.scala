@@ -581,7 +581,43 @@ object TextAnalysis {
       FROM r WHERE rn <= 3"""),
     tags = Set("text"))
 
+  /** Per-language character-trigram frequency profile (top-10 per
+    * language, deterministic tiebreak) — the TRAINING scan of an
+    * n-gram language identifier: [[langid]] classifies with
+    * hand-picked marker grams; this key is how those profiles are
+    * learned from a labelled corpus (Cavnar & Trenkle 1994 rank
+    * profiles). One map-side-combined count keyed by (lang, gram) —
+    * the lang in the key spreads hot grams — then a top-10 window
+    * over the aggregated profile frame (≤ langs × distinct grams,
+    * ≪ the character stream). Docs shorter than 3 chars carry no
+    * trigram (filtered identically in both engines). */
+  val ngramProfile: GQuery = GQuery(
+    "text_ngram_profile",
+    (s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      val cnt = ch.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+      cnt.withColumn("rn", row_number().over(byLang).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("g").as("trigram"), col("n"), col("rn"))
+    },
+    Some("""
+      WITH ch AS (SELECT lang, substr(text, i, 3) AS g
+                  FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+                  WHERE length(text) >= 3),
+      cnt AS (SELECT lang, g, count(*) AS n FROM ch GROUP BY 1, 2),
+      rk AS (SELECT lang, g, n,
+                    row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn
+             FROM cnt)
+      SELECT lang, g AS trigram, n, CAST(rn AS BIGINT) AS rn
+      FROM rk WHERE rn <= 10"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
-      normalize, pii, boilerplate, bpeMerges, keywords)
+      normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile)
 }

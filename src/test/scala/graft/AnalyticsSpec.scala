@@ -81,6 +81,53 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally got.unpersist()
   }
 
+  test("merged intervals are disjoint per user and cover every event") {
+    val got = SparkEntry.queries("op_merge_intervals")(spark, sfDir).cache()
+    try {
+      // event conservation: merged interval counts sum to the table size
+      val total = got.agg(sum("n_events")).head.getLong(0)
+      assert(total == sources.Tables.events(spark, sfDir).count())
+      // disjoint: within a user, each interval starts strictly after the
+      // previous one ends
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("iv_start")
+      val overlap = got.withColumn("prev_end", lag(col("iv_end"), 1).over(w))
+        .filter(col("prev_end").isNotNull && col("iv_start") <= col("prev_end"))
+      assert(overlap.isEmpty, "adjacent merged intervals overlap")
+      // every interval spans at least the 30-minute claim of one event
+      assert(got.filter(
+        unix_timestamp(col("iv_end")) - unix_timestamp(col("iv_start")) < 1800L).isEmpty)
+    } finally got.unpersist()
+  }
+
+  test("cdc_apply keeps exactly the users whose last change is not a delete") {
+    val got = SparkEntry.queries("op_cdc_apply")(spark, sfDir)
+    val e = sources.Tables.events(spark, sfDir)
+    // independent spelling: latest (ts, event_id) per user via max_by
+    val last = e.groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("lt"))
+    val expectKept = last.filter(col("lt") =!= "error")
+    assert(got.count() == expectKept.count())
+    assert(got.join(expectKept, "user_id").count() == got.count())
+    assert(got.filter(col("last_type") === "error").isEmpty)
+  }
+
+  test("ngram profile ranks are dense per language and counts non-increasing") {
+    val got = SparkEntry.queries("text_ngram_profile")(spark, sfDir).cache()
+    try {
+      assert(got.filter(length(col("trigram")) =!= 3).isEmpty)
+      // dense ranks 1..10 per language
+      val perLang = got.groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"))
+      assert(perLang.filter(col("n") =!= 10 || col("lo") =!= 1 || col("hi") =!= 10).isEmpty)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("rn")
+      val nonMono = got.withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull && col("n") > col("prev"))
+      assert(nonMono.isEmpty)
+    } finally got.unpersist()
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {
