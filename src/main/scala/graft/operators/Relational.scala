@@ -987,6 +987,43 @@ object Relational {
       FROM last WHERE rn = 1 AND event_type <> 'error'"""),
     tags = Set("relational"))
 
+  /** 2-D Pareto frontier (skyline): orders not strictly dominated in
+    * (recency, price) — on the frontier iff no strictly-later order
+    * has a strictly higher total. The sort-scan spelling: one range
+    * window over day takes the max price among all STRICTLY later
+    * days; survivors are where that max is null or not above them.
+    * This window is deliberately global (the 2-D skyline is a
+    * total-order computation); the 100 TB spelling partitions by a
+    * coarse day range, computes per-partition skylines, and re-runs
+    * the scan over the (tiny) union of candidates — same operator,
+    * two levels. Ties: same-day orders compare only against later
+    * days, so co-maximal same-day orders all survive (standard
+    * skyline semantics), deterministically in both engines. */
+  val skyline: GQuery = GQuery(
+    "op_skyline",
+    (s, dir) => {
+      val pts = Tables.orders(s, dir).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        cents(col("o_totalprice")).as("cents"))
+      val later = Window.orderBy(col("day")).rangeBetween(1, Window.unboundedFollowing)
+      pts.withColumn("later_max", max(col("cents")).over(later))
+        .filter(col("later_max").isNull || col("cents") >= col("later_max"))
+        .select(col("o_orderkey"), col("day"), col("cents"))
+    },
+    Some("""
+      WITH pts AS (SELECT o_orderkey,
+                          CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS day,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+      sk AS (SELECT o_orderkey, day, cents,
+                    max(cents) OVER (ORDER BY day
+                                     RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS later_max
+             FROM pts)
+      SELECT o_orderkey, day, cents FROM sk
+      WHERE later_max IS NULL OR cents >= later_max"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -994,5 +1031,5 @@ object Relational {
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
-    mergeIntervals, cdcApply)
+    mergeIntervals, cdcApply, skyline)
 }

@@ -756,7 +756,56 @@ object Ann {
       FROM x GROUP BY 1, 2"""),
     tags = Set("ann"))
 
+  /** Recall@k evaluation harness: per query, how many of the exact
+    * brute-force top-k ([[cosineTopk]]) the LSH index ([[lshTopk]])
+    * recovered — the measurement every ANN deployment runs before
+    * trusting an index, expressed as a single declarative plan (both
+    * pipelines + a left-semi hit join + an integer permille). AnnSpec
+    * asserts a recall FLOOR; this key pins the exact per-query hit
+    * counts under the oracle gate, so an index regression (a changed
+    * hash family, a narrower band) fails correctness, not just a
+    * spec threshold. Queries the index misses entirely still emit
+    * n_hits = 0 via the left join from the brute query list.
+    *
+    * Scale: the brute side is the small broadcast query probe (its
+    * documented regime); the eval join is k rows per query on both
+    * sides — evaluation cost is dwarfed by either index build. */
+  val recallEval: GQuery = GQuery(
+    "ann_recall_eval",
+    (s, dir) => {
+      val brute = cosineTopk.build(s, dir).select(col("query_id"), col("vec_id"))
+      val approx = lshTopkFrom(Tables.embeddings(s, dir), s)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      brute.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_permille", expr(s"(n_hits * 1000) DIV $K"))
+    },
+    Some(s"""$lshScoredSql,
+      lsh_topk AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored) WHERE rn <= $K),
+      bdots AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+                FROM qv q, qv c WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
+      bscored AS (SELECT query_id, bdots.vec_id AS vec_id,
+                         round(dot / (sqrt(nq.nn) * sqrt(nc.nn)), 6) AS cosine
+                  FROM bdots JOIN norms nq ON query_id = nq.vec_id
+                             JOIN norms nc ON bdots.vec_id = nc.vec_id),
+      btopk AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+          FROM bscored) WHERE rn <= $K)
+      SELECT b.query_id, count(l.vec_id) AS n_hits,
+             CAST((count(l.vec_id) * 1000) // $K AS BIGINT) AS recall_permille
+      FROM btopk b LEFT JOIN lsh_topk l USING (query_id, vec_id)
+      GROUP BY 1"""),
+    tags = Set("ann"))
+
   def all: Seq[GQuery] =
     Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey,
-      pqTopk, centroids)
+      pqTopk, centroids, recallEval)
 }

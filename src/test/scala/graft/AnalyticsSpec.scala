@@ -128,6 +128,40 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally got.unpersist()
   }
 
+  test("skyline equals the brute-force non-dominated set") {
+    val got = SparkEntry.queries("op_skyline")(spark, sfDir).cache()
+    try {
+      val pts = sources.Tables.orders(spark, sfDir).select(
+        col("o_orderkey").as("k2"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d2"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c2"))
+      // soundness: no survivor is strictly dominated
+      val dominated = got.join(pts,
+        col("d2") > col("day") && col("c2") > col("cents"), "left_semi")
+      assert(dominated.isEmpty, "skyline row is strictly dominated")
+      // completeness: every non-survivor IS dominated
+      val nonSurvivors = pts.join(got.select(col("o_orderkey")),
+        col("k2") === col("o_orderkey"), "left_anti")
+      val undominated = nonSurvivors.join(
+        pts.select(col("d2").as("d3"), col("c2").as("c3")),
+        col("d3") > col("d2") && col("c3") > col("c2"), "left_anti")
+      assert(undominated.isEmpty, "non-survivor not dominated by anything")
+    } finally got.unpersist()
+  }
+
+  test("recall_eval hit counts are within [0, k] and permille is exact") {
+    val got = SparkEntry.queries("ann_recall_eval")(spark, sfDir).cache()
+    try {
+      assert(got.count() == 10, "one row per query")
+      assert(got.filter(col("n_hits") < 0 || col("n_hits") > 5).isEmpty)
+      assert(got.filter(col("recall_permille") =!= col("n_hits") * 200).isEmpty)
+    } finally {
+      got.unpersist()
+      Caches.release()
+    }
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {

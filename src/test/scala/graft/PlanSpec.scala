@@ -21,7 +21,7 @@ class PlanSpec extends SparkSpecBase {
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_balanced", "dedup_semantic",
       "gen_partsupp_join", "gen_source_format", "gen_aux_profile",
       "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix",
-      "text_keywords", "graph_triangles")
+      "text_keywords", "graph_triangles", "ann_recall_eval")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
