@@ -149,5 +149,27 @@ object Graph {
       SELECT n, r FROM r3"""),
     tags = Set("graph"))
 
-  def all: Seq[GQuery] = Seq(triangles, pagerank)
+  /** Degree distribution of the co-purchase graph — the first question
+    * asked of any graph (is it power-law? where do the hubs start?)
+    * and the input to every skew decision the other graph keys make
+    * (orientation in [[triangles]], salting thresholds). Two
+    * map-side-combined aggregates: degree per node, then node count
+    * per degree — output is O(distinct degrees), tiny at any scale. */
+  val degreeDistribution: GQuery = GQuery(
+    "graph_degree_distribution",
+    (s, dir) => {
+      val pairs = coPurchaseEdges(s, dir)
+      pairs.select(col("a").as("n")).union(pairs.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""
+      WITH $pairsSql,
+      deg AS (SELECT n, count(*) AS d
+              FROM (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs) GROUP BY 1)
+      SELECT CAST(d AS BIGINT) AS degree, count(*) AS n_nodes
+      FROM deg GROUP BY 1"""),
+    tags = Set("graph"))
+
+  def all: Seq[GQuery] = Seq(triangles, pagerank, degreeDistribution)
 }

@@ -579,7 +579,74 @@ object TrainingData {
       FROM ranked"""),
     tags = Set("pipeline"))
 
+  /** Exact-count per-group sampling: EXACTLY min(n, |group|) docs per
+    * source, selected by md5(doc_id) rank — the complement of
+    * [[sampleStratified]]'s permille RATE sampling for when the
+    * contract is a count ("100 eval docs per source"), not a
+    * proportion. The hash order makes the pick uniform-without-an-RNG
+    * and reproducible; the rank window partitions by source, so
+    * parallelism is the source count and each partition sorts only
+    * its own group (at 100 TB with huge groups: pre-filter by a hash
+    * permille ceiling ≥ n/|group| first, then rank the survivors —
+    * same result, window input shrunk to ~n per group). */
+  val sampleFixedN: GQuery = {
+    val n = 20
+    GQuery(
+      "pipeline_sample_fixed_n",
+      (s, dir) => {
+        val byHash = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        graft.sources.Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            row_number().over(byHash).cast("long").as("rn"))
+          .filter(col("rn") <= n)
+      },
+      Some(s"""
+        WITH r AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+                   FROM documents)
+        SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $n"""),
+      tags = Set("pipeline"))
+  }
+
+  /** Deterministic source interleaving: a total training order where
+    * consecutive positions cycle through the sources round-robin —
+    * global_pos = (hash-rank within source − 1) × n_sources +
+    * source_index. A reader consuming by global_pos sees sources
+    * interleaved at document granularity (the curriculum property
+    * homogeneous-shard layouts lose) with NO global sort: one rank
+    * window per source plus integer math, injective by construction.
+    * Scale: identical to [[shuffleShard]]'s window posture — the
+    * per-source rank is the only shuffle, and the 100 TB variant
+    * bounds window size by sub-sharding the rank key exactly as
+    * shuffle_shard does. */
+  val interleave: GQuery = GQuery(
+    "pipeline_interleave",
+    (s, dir) => {
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          substring(col("source"), 4, 10).cast("long").as("src_idx"),
+          row_number().over(byHash).cast("long").as("pos"))
+        .select(col("doc_id"), col("source"),
+          ((col("pos") - 1) * lit(20L) + col("src_idx")).as("global_pos"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id, source,
+                        CAST(substr(source, 4) AS BIGINT) AS src_idx,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+                 FROM documents)
+      SELECT doc_id, source, CAST((pos - 1) * 20 + src_idx AS BIGINT) AS global_pos
+      FROM r"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
-      shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket)
+      shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
+      sampleFixedN, interleave)
 }

@@ -162,6 +162,43 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("sample_fixed_n takes exactly min(n, group) per source, reproducibly") {
+    val got = SparkEntry.queries("pipeline_sample_fixed_n")(spark, sfDir).cache()
+    try {
+      val sizes = sources.Tables.documents(spark, sfDir)
+        .groupBy("source").agg(count(lit(1)).as("total"))
+      val bad = got.groupBy("source").agg(count(lit(1)).as("taken"))
+        .join(sizes, "source")
+        .filter(col("taken") =!= least(lit(20L), col("total")))
+      assert(bad.isEmpty, "per-source sample size != min(20, group size)")
+      val again = SparkEntry.queries("pipeline_sample_fixed_n")(spark, sfDir)
+      assert(got.exceptAll(again).isEmpty, "sample not reproducible")
+    } finally got.unpersist()
+  }
+
+  test("interleave positions are injective and cycle sources round-robin") {
+    val got = SparkEntry.queries("pipeline_interleave")(spark, sfDir).cache()
+    try {
+      assert(got.select("global_pos").distinct().count() == got.count())
+      // position mod n_sources recovers the source index
+      val bad = got.filter(
+        pmod(col("global_pos"), lit(20L)) =!= substring(col("source"), 4, 10).cast("long"))
+      assert(bad.isEmpty, "global_pos does not cycle sources round-robin")
+    } finally got.unpersist()
+  }
+
+  test("degree distribution conserves edge endpoints and node count") {
+    val dist = SparkEntry.queries("graph_degree_distribution")(spark, sfDir).cache()
+    try {
+      val e = graph.Graph.coPurchaseEdges(spark, sfDir)
+      val endpoints = dist.agg(sum(col("degree") * col("n_nodes"))).head.getLong(0)
+      assert(endpoints == 2 * e.count(), "sum(degree * n_nodes) must equal 2|E|")
+      val nodes = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .distinct().count()
+      assert(dist.agg(sum("n_nodes")).head.getLong(0) == nodes)
+    } finally dist.unpersist()
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {
