@@ -116,15 +116,16 @@ object Graph {
     "graph_pagerank",
     (s, dir) => {
       val pairs = coPurchaseEdges(s, dir)
-      val edges = graft.Caches.persistTracked(
-        pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
-      val deg = graft.Caches.persistTracked(
-        edges.groupBy(col("src")).agg(count(lit(1)).as("d")))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // degree is a per-edge constant: attach it ONCE and persist the
+      // (src, dst, d) frame — each of the 3 hops then joins only the
+      // current rank, not rank AND deg
+      val edgesD = graft.Caches.persistTracked(edges.join(deg, "src"))
       var rank = deg.select(col("src").as("n"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
-        rank = edges
-          .join(deg, "src")
+        rank = edgesD
           .join(rank.withColumnRenamed("n", "src"), "src")
           .select(col("dst"), expr("r DIV d").as("c"))
           .groupBy(col("dst"))

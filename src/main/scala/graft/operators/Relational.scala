@@ -992,13 +992,17 @@ object Relational {
     * has a strictly higher total. The sort-scan spelling: one range
     * window over day takes the max price among all STRICTLY later
     * days; survivors are where that max is null or not above them.
-    * This window is deliberately global (the 2-D skyline is a
-    * total-order computation); the 100 TB spelling partitions by a
-    * coarse day range, computes per-partition skylines, and re-runs
-    * the scan over the (tiny) union of candidates — same operator,
-    * two levels. Ties: same-day orders compare only against later
-    * days, so co-maximal same-day orders all survive (standard
-    * skyline semantics), deterministically in both engines. */
+    * The scan runs in two levels: a keyed per-day max (full
+    * parallelism over the fact table), then the suffix max over the
+    * DISTINCT-day frame — ordered day-descending with a growing
+    * rows-frame, which Spark evaluates in O(n) (the direct
+    * `RANGE 1 FOLLOWING … UNBOUNDED FOLLOWING` spelling hits the
+    * O(n²) unbounded-following frame: 79 s vs 0.5 s at sf0.1) — and a
+    * broadcast join back. Only the tiny day frame is single-partition;
+    * the 100 TB spelling is unchanged. Ties: same-day orders compare
+    * only against LATER days, so co-maximal same-day orders all
+    * survive (standard skyline semantics), deterministic in both
+    * engines. */
   val skyline: GQuery = GQuery(
     "op_skyline",
     (s, dir) => {
@@ -1006,8 +1010,12 @@ object Relational {
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("day"),
         cents(col("o_totalprice")).as("cents"))
-      val later = Window.orderBy(col("day")).rangeBetween(1, Window.unboundedFollowing)
-      pts.withColumn("later_max", max(col("cents")).over(later))
+      val laterDesc = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val suffix = pts.groupBy(col("day")).agg(max(col("cents")).as("day_max"))
+        .withColumn("later_max", max(col("day_max")).over(laterDesc))
+        .select(col("day"), col("later_max"))
+      pts.join(suffix, "day")
         .filter(col("later_max").isNull || col("cents") >= col("later_max"))
         .select(col("o_orderkey"), col("day"), col("cents"))
     },
