@@ -192,5 +192,49 @@ object Multimodal {
       FROM fit"""),
     tags = Set("multimodal"))
 
-  def all: Seq[GQuery] = Seq(metadata, decodeFeaturesQuery, frameSample, resize)
+  /** Byte-budget shard planning (the WebDataset/tar-shard layout
+    * step): stream-fill documents into ~8 MB shards per format by
+    * exclusive-prefix-sum DIV — the same packing math as
+    * `pipeline_pack_sequences`, applied to DECODED byte size
+    * (width × height × 3 from the metadata struct; payload bytes are
+    * never read, matching `mm_resize`'s prune-before-decode posture).
+    * Output is the shard manifest (doc count, byte total, doc-id
+    * range per shard) a downstream writer consumes. The prefix window
+    * partitions by format; the 100 TB variant adds a hash sub-shard
+    * to the partition key exactly as pack_sequences does. */
+  val shardManifest: GQuery = {
+    val budget = 8388608L // 8 MB decoded bytes per shard
+    GQuery(
+      "mm_shard_manifest",
+      (s, dir) => {
+        val m = Tables.documents(s, dir).select(
+          col("doc_id"), fmtCol.as("format"),
+          (widthCol.cast("long") * heightCol.cast("long") * lit(3L)).as("n_bytes"))
+        val prefix = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("format")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        m.withColumn("prefix", coalesce(sum(col("n_bytes")).over(prefix), lit(0L)))
+          .withColumn("shard", expr(s"prefix DIV ${budget}L"))
+          .groupBy(col("format"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      },
+      Some(s"""
+        WITH m AS (SELECT doc_id,
+                          ['jpeg','png','webp'][(doc_id % 3)::INT + 1] AS format,
+                          CAST((64 + (doc_id % 32) * 16) * (64 + ((doc_id // 32) % 32) * 16) * 3 AS BIGINT) AS n_bytes
+                   FROM documents),
+        p AS (SELECT doc_id, format, n_bytes,
+                     COALESCE(sum(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM m),
+        sh AS (SELECT doc_id, format, n_bytes, CAST(prefix // $budget AS BIGINT) AS shard FROM p)
+        SELECT format, shard, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM sh GROUP BY 1, 2"""),
+      tags = Set("multimodal"))
+  }
+
+  def all: Seq[GQuery] =
+    Seq(metadata, decodeFeaturesQuery, frameSample, resize, shardManifest)
 }

@@ -1032,6 +1032,70 @@ object Relational {
       WHERE later_max IS NULL OR cents >= later_max"""),
     tags = Set("relational"))
 
+  /** Cumulative reach (cumulative distinct users by day): each user
+    * counts once, on their FIRST active day — so the curve is a
+    * running sum over per-day new-user counts, never a
+    * count-distinct-over-growing-window (which would rescan the
+    * prefix per day). Two keyed aggregates + an O(n) running frame
+    * over the distinct-day frame (the only single-partition stage,
+    * bounded by the calendar). */
+  val cumulativeReach: GQuery = GQuery(
+    "op_cumulative_reach",
+    (s, dir) => {
+      val first = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+      val daily = first.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      val run = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cumulative_users", sum(col("new_users")).over(run).cast("long"))
+        .select(col("d").as("day"), col("new_users"), col("cumulative_users"))
+    },
+    Some("""
+      WITH first AS (SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY 1),
+      daily AS (SELECT d, count(*) AS new_users FROM first GROUP BY 1)
+      SELECT d AS day, new_users,
+             CAST(sum(new_users) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+      FROM daily"""),
+    tags = Set("relational"))
+
+  /** Trailing-window anomaly detection in pure integer arithmetic: an
+    * event is flagged when its value exceeds 4× the trailing-20 mean,
+    * tested as v·n > 4·Σ (cross-multiplied so no division, no floats —
+    * bit-identical across engines). The baseline needs ≥8 trailing
+    * events. One window pass per user (sum + count share the frame),
+    * emitting only the anomalies — the output is the incident list,
+    * not the annotated stream. */
+  val anomalyTrailing: GQuery = GQuery(
+    "op_anomaly_trailing",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .withColumn("trail_sum_cents", sum(col("v_cents")).over(byTime))
+        .withColumn("trail_n", count(lit(1)).over(byTime))
+        .filter(col("trail_n") >= 8 &&
+          col("v_cents") * col("trail_n") > col("trail_sum_cents") * 4)
+        .select(col("user_id"), col("event_id"), col("ts"), col("v_cents"),
+          col("trail_sum_cents"), col("trail_n"))
+    },
+    Some("""
+      WITH t AS (SELECT user_id, event_id, ts,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+                 FROM events),
+      w AS (SELECT user_id, event_id, ts, v_cents,
+                   sum(v_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_n
+            FROM t)
+      SELECT user_id, event_id, ts, v_cents,
+             CAST(trail_sum AS BIGINT) AS trail_sum_cents,
+             CAST(trail_n AS BIGINT) AS trail_n
+      FROM w WHERE trail_n >= 8 AND v_cents * trail_n > 4 * trail_sum"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1039,5 +1103,5 @@ object Relational {
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
-    mergeIntervals, cdcApply, skyline)
+    mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing)
 }

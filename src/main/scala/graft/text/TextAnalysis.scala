@@ -617,7 +617,35 @@ object TextAnalysis {
       FROM rk WHERE rn <= 10"""),
     tags = Set("text"))
 
+  /** Feature hashing (the "hashing trick"): every token maps to one of
+    * 16 slots by an md5-derived hash; a document's feature vector is
+    * its per-slot token counts, emitted long-format (doc_id, slot,
+    * cnt) — the fixed-width representation fast linear classifiers
+    * (quality gates, langid, topic routers) consume without a
+    * vocabulary table. No vocabulary = no corpus-wide dictionary
+    * build, no OOV handling, bounded width at any corpus size — why
+    * the trick scales where tf-idf matrices don't. One shuffle keyed
+    * by (doc_id, slot); md5 keeps both engines' slot assignment
+    * identical. */
+  val hashFeatures: GQuery = GQuery(
+    "text_hash_features",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"), lit(16L)).as("slot"))
+        .groupBy(col("doc_id"), col("slot")).agg(count(lit(1)).as("cnt")),
+    Some("""
+      WITH occ AS (SELECT doc_id, t AS w
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0)
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 6))::BIGINT % 16 AS BIGINT) AS slot,
+             count(*) AS cnt
+      FROM occ GROUP BY 1, 2"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
-      normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile)
+      normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile, hashFeatures)
 }

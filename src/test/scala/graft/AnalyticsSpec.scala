@@ -199,6 +199,54 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally dist.unpersist()
   }
 
+  test("hash features conserve token counts into 16 slots") {
+    val got = SparkEntry.queries("text_hash_features")(spark, sfDir).cache()
+    try {
+      assert(got.filter(col("slot") < 0 || col("slot") > 15).isEmpty)
+      val total = got.agg(sum("cnt")).head.getLong(0)
+      val words = sources.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).count()
+      assert(total == words, "slot counts must conserve the token stream")
+    } finally got.unpersist()
+  }
+
+  test("shard manifest conserves docs and numbers shards contiguously from 0") {
+    val got = SparkEntry.queries("mm_shard_manifest")(spark, sfDir).cache()
+    try {
+      val docs = sources.Tables.documents(spark, sfDir).count()
+      assert(got.agg(sum("n_docs")).head.getLong(0) == docs)
+      val bad = got.groupBy("format")
+        .agg(min("shard").as("lo"), max("shard").as("hi"), count(lit(1)).as("n"))
+        .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      assert(bad.isEmpty, "shard ids not contiguous from 0 per format")
+      // stream fill: a shard only closes once the budget is crossed, so
+      // every non-final shard holds at least the budget minus one max doc
+      val maxDoc = 560L * 560L * 3L
+      val lastPer = got.groupBy("format").agg(max("shard").as("last"))
+      val thin = got.join(lastPer, "format")
+        .filter(col("shard") =!= col("last") &&
+          col("total_bytes") < 8388608L - maxDoc)
+      assert(thin.isEmpty, "non-final shard under-filled")
+    } finally got.unpersist()
+  }
+
+  test("cumulative reach ends at the distinct-user count") {
+    val got = SparkEntry.queries("op_cumulative_reach")(spark, sfDir)
+    val users = sources.Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(got.agg(max("cumulative_users")).head.getLong(0) == users)
+    assert(got.agg(sum("new_users")).head.getLong(0) == users)
+  }
+
+  test("anomaly flags satisfy the integer threshold with a full baseline") {
+    val got = SparkEntry.queries("op_anomaly_trailing")(spark, sfDir).cache()
+    try {
+      assert(got.filter(col("trail_n") < 8 || col("trail_n") > 20).isEmpty)
+      assert(got.filter(
+        col("v_cents") * col("trail_n") <= col("trail_sum_cents") * 4).isEmpty)
+    } finally got.unpersist()
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {
