@@ -172,5 +172,53 @@ object Graph {
       FROM deg GROUP BY 1"""),
     tags = Set("graph"))
 
-  def all: Seq[GQuery] = Seq(triangles, pagerank, degreeDistribution)
+  /** k-hop reachability (BFS, fixed 3 hops) from a seed set: hop
+    * distance = min over paths, computed by 3 unrolled
+    * frontier-expansion rounds (join frontier to edges, union, min per
+    * node) — the bounded-depth traversal behind "everything within k
+    * links of these accounts/parts". Fixed k keeps the plan static
+    * like [[pagerank]]; the iterate-to-fixpoint variant is
+    * [[graft.dedup.Dedup.componentsOf]]'s RDD loop. Each round
+    * shuffles (frontier ⋈ edges) + one min-aggregate keyed by node —
+    * frontier size is bounded by the node count, never the path
+    * count, because min-per-node collapses every round. */
+  val khop: GQuery = GQuery(
+    "graph_khop",
+    (s, dir) => {
+      val pairs = coPurchaseEdges(s, dir)
+      val edges = graft.Caches.persistTracked(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      var front = edges.filter(col("src") < 10)
+        .select(col("src").as("n")).distinct()
+        .withColumn("hop", lit(0L))
+      for (_ <- 1 to 3) {
+        front = front
+          .union(edges.join(front.withColumnRenamed("n", "src"), "src")
+            .select(col("dst").as("n"), (col("hop") + 1).as("hop")))
+          .groupBy(col("n")).agg(min(col("hop")).as("hop"))
+      }
+      front
+    },
+    Some(s"""
+      WITH $pairsSql,
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      h0 AS (SELECT DISTINCT src AS n, CAST(0 AS BIGINT) AS hop FROM edges WHERE src < 10),
+      h1 AS (SELECT n, min(hop) AS hop FROM (
+               SELECT n, hop FROM h0
+               UNION ALL
+               SELECT e.dst AS n, h0.hop + 1 FROM edges e JOIN h0 ON e.src = h0.n) GROUP BY 1),
+      h2 AS (SELECT n, min(hop) AS hop FROM (
+               SELECT n, hop FROM h1
+               UNION ALL
+               SELECT e.dst AS n, h1.hop + 1 FROM edges e JOIN h1 ON e.src = h1.n) GROUP BY 1),
+      h3 AS (SELECT n, min(hop) AS hop FROM (
+               SELECT n, hop FROM h2
+               UNION ALL
+               SELECT e.dst AS n, h2.hop + 1 FROM edges e JOIN h2 ON e.src = h2.n) GROUP BY 1)
+      SELECT n, CAST(hop AS BIGINT) AS hop FROM h3"""),
+    tags = Set("graph"))
+
+  def all: Seq[GQuery] = Seq(triangles, pagerank, degreeDistribution, khop)
 }

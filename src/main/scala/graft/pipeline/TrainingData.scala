@@ -645,8 +645,44 @@ object TrainingData {
       FROM r"""),
     tags = Set("pipeline"))
 
+  /** Corpus data card: the per-source summary a dataset ships with —
+    * doc and token totals, character volume, language mix
+    * (integer-exact en-permille + distinct-language count). One
+    * map-side-combined aggregate over a per-row token count; the
+    * whole card is 20 rows. The operational role: this is the
+    * before/after scan every curation stage ([[curateQuery]],
+    * [[domainMix]]) is audited against, so it ships as a first-class
+    * key, not a notebook query. */
+  val dataCard: GQuery = GQuery(
+    "pipeline_data_card",
+    (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("en_permille", expr("(en_docs * 1000) DIV n_docs"))
+        .drop("en_docs"),
+    Some("""
+      WITH toks AS (SELECT doc_id, source, lang, n_chars,
+                           len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_tokens
+                    FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST((count(*) FILTER (WHERE lang = 'en')) * 1000 // count(*) AS BIGINT) AS en_permille
+      FROM toks GROUP BY 1"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
       shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
-      sampleFixedN, interleave)
+      sampleFixedN, interleave, dataCard)
 }

@@ -247,6 +247,18 @@ class AnalyticsSpec extends SparkSpecBase {
     } finally got.unpersist()
   }
 
+  test("data card conserves docs and chars, language mix within bounds") {
+    val got = SparkEntry.queries("pipeline_data_card")(spark, sfDir).cache()
+    try {
+      val docs = sources.Tables.documents(spark, sfDir)
+      assert(got.agg(sum("n_docs")).head.getLong(0) == docs.count())
+      assert(got.agg(sum("total_chars")).head.getLong(0) ==
+        docs.agg(sum(col("n_chars").cast("long"))).head.getLong(0))
+      assert(got.filter(col("en_permille") < 0 || col("en_permille") > 1000).isEmpty)
+      assert(got.filter(col("n_langs") < 1 || col("n_langs") > 5).isEmpty)
+    } finally got.unpersist()
+  }
+
   test("retention offset-0 cell equals cohort size and offsets are non-negative") {
     val got = SparkEntry.queries("op_retention_cohort")(spark, sfDir).cache()
     try {

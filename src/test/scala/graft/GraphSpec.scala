@@ -24,6 +24,29 @@ class GraphSpec extends SparkSpecBase {
     } finally e.unpersist()
   }
 
+  test("khop distances satisfy the edge relaxation invariant") {
+    val got = SparkEntry.queries("graph_khop")(spark, sfDir).cache()
+    try {
+      // seeds are at hop 0
+      assert(got.filter(col("n") < 10 && col("hop") =!= 0).isEmpty)
+      assert(got.filter(col("hop") < 0 || col("hop") > 3).isEmpty)
+      // no edge may shortcut a recorded distance by more than 1 (within
+      // the 3-hop horizon: only check pairs where both ends are labelled
+      // and the better label is < 3)
+      val e = graph.Graph.coPurchaseEdges(spark, sfDir)
+      val edges = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val bad = edges
+        .join(got.select(col("n").as("src"), col("hop").as("hs")), "src")
+        .join(got.select(col("n").as("dst"), col("hop").as("hd")), "dst")
+        .filter(col("hs") < 3 && col("hd") > col("hs") + 1)
+      assert(bad.isEmpty, "an edge shortcuts a BFS distance")
+    } finally {
+      got.unpersist()
+      Caches.release()
+    }
+  }
+
   test("pagerank covers every connected part and respects rank bounds") {
     val got = SparkEntry.queries("graph_pagerank")(spark, sfDir).cache()
     try {
