@@ -20,6 +20,7 @@ object Registry {
     tpch.TpchQueries.all ++
       tpch.FullTpch.all ++
       operators.Relational.all ++
+      operators.Behavior.all ++
       text.TextAnalysis.all ++
       dedup.Dedup.all ++
       similarity.Ann.all ++

@@ -220,5 +220,106 @@ object Graph {
       SELECT n, CAST(hop AS BIGINT) AS hop FROM h3"""),
     tags = Set("graph"))
 
-  def all: Seq[GQuery] = Seq(triangles, pagerank, degreeDistribution, khop)
+  /** k-core decomposition, 3 unrolled peeling rounds at k = 100
+    * (chosen at the graph's median degree so the peel actually
+    * cascades — see [[degreeDistribution]]): each round recomputes
+    * degrees over the surviving edge set, drops nodes below k, and
+    * keeps only edges with both endpoints surviving (two left-semi
+    * joins — no row widening). Emits the per-round census
+    * (round, n_nodes, n_edges) — the shrinking curve IS the result.
+    * Fixed round count keeps the plan static exactly like
+    * [[pagerank]]; full peeling-to-fixpoint would use the
+    * [[graft.dedup.Dedup.componentsOf]] RDD-loop shape. Each round is
+    * one degree aggregate + two semi-joins keyed on node id — all
+    * shuffle-partitioned, nothing driver-side. */
+  val kcore: GQuery = GQuery(
+    "graph_kcore",
+    (s, dir) => {
+      val K = 100
+      var edges = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      var rounds = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to 3) {
+        val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= K).select(col("n"))
+        edges = graft.Caches.persistTracked(
+          edges
+            .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"))
+        rounds = rounds :+ keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ unionByName _)
+    },
+    Some(s"""
+      WITH $pairsSql,
+      d1 AS (SELECT n, count(*) AS d
+             FROM (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs) GROUP BY 1),
+      k1 AS (SELECT n FROM d1 WHERE d >= 100),
+      e1 AS (SELECT a, b FROM pairs
+             WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+      d2 AS (SELECT n, count(*) AS d
+             FROM (SELECT a AS n FROM e1 UNION ALL SELECT b AS n FROM e1) GROUP BY 1),
+      k2 AS (SELECT n FROM d2 WHERE d >= 100),
+      e2 AS (SELECT a, b FROM e1
+             WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+      d3 AS (SELECT n, count(*) AS d
+             FROM (SELECT a AS n FROM e2 UNION ALL SELECT b AS n FROM e2) GROUP BY 1),
+      k3 AS (SELECT n FROM d3 WHERE d >= 100),
+      e3 AS (SELECT a, b FROM e2
+             WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3))
+      SELECT CAST(1 AS BIGINT) AS round, (SELECT count(*) FROM k1) AS n_nodes,
+             (SELECT count(*) FROM e1) AS n_edges
+      UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)"""),
+    tags = Set("graph"))
+
+  /** Common-neighbor link prediction: score every non-adjacent pair
+    * by how many neighbors it shares, via the wedge stream pivoted at
+    * the shared node — with the standard two guards that make it
+    * survivable on a power-law graph: (1) only MIDDLE nodes of degree
+    * ≤ 96 generate wedges (hub co-membership is weak evidence and is
+    * what makes the stream quadratic — the same df-cap move as
+    * `dedup_ngram_jaccard`'s heavy-hitter drop), bounding wedge rows
+    * by E·cap; (2) a score floor (≥ 5 shared neighbors) before the
+    * anti-join against existing edges. Top-100 under a total order
+    * (score desc, a, b) so both engines pick identical rows. */
+  val linkPredict: GQuery = GQuery(
+    "graph_link_predict",
+    (s, dir) => {
+      val MID_CAP = 96
+      val MIN_COMMON = 5
+      val pairs = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      val adj = pairs.select(col("a").as("n"), col("b").as("nbr"))
+        .union(pairs.select(col("b").as("n"), col("a").as("nbr")))
+      val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val mid = graft.Caches.persistTracked(
+        adj.join(deg.filter(col("d") <= MID_CAP).select(col("n")), Seq("n"), "left_semi"))
+      val scored = mid.as("x").join(mid.as("y"), "n")
+        .filter(col("x.nbr") < col("y.nbr"))
+        .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= MIN_COMMON)
+      scored.join(pairs, Seq("a", "b"), "left_anti")
+        .orderBy(col("common").desc, col("a"), col("b"))
+        .limit(100)
+    },
+    Some(s"""
+      WITH $pairsSql,
+      adj AS (SELECT a AS n, b AS nbr FROM pairs
+              UNION ALL SELECT b AS n, a AS nbr FROM pairs),
+      deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+      mid AS (SELECT adj.n, adj.nbr FROM adj JOIN deg ON deg.n = adj.n WHERE deg.d <= 96),
+      wedge AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS common
+                FROM mid x JOIN mid y ON x.n = y.n AND x.nbr < y.nbr
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT w.a, w.b, w.common
+      FROM wedge w LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b
+      WHERE p.a IS NULL
+      ORDER BY w.common DESC, w.a, w.b LIMIT 100"""),
+    tags = Set("graph"))
+
+  def all: Seq[GQuery] =
+    Seq(triangles, pagerank, degreeDistribution, khop, kcore, linkPredict)
 }

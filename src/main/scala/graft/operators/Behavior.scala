@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.GQuery
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3b behavioral / quality analytics: event-sequence modeling
+  * (Markov transitions), audience overlap, RFM segmentation, and a
+  * Deequ-style data-quality constraint audit. The reference engine
+  * (DataFusion) expresses all of these as plain SQL over its
+  * registered tables; here each is the scale-shaped Spark plan with a
+  * literal-SQL DuckDB oracle.
+  *
+  * Numeric discipline matches [[Relational]]: money in exact integer
+  * cents, rates in integer permille (`x * 1000 DIV total`) — never a
+  * float division that could drift between engines.
+  */
+object Behavior {
+
+  private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: `lead(event_type)` per user (one shuffle keyed on
+    * user_id — the same partitioned-window shape as
+    * [[Relational.windowRunning]]), then a tiny |types|² count
+    * aggregate. The row-conditional probability is integer permille
+    * over the from-state total (window over the matrix frame, ~25
+    * rows). 100 TB posture: the only fact-sized stage is the keyed
+    * window; the matrix itself is O(|types|²) regardless of corpus
+    * size. */
+  val markovTransitions: GQuery = GQuery(
+    "op_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val matrix = steps.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotal = Window.partitionBy(col("from_type"))
+      matrix
+        .withColumn("tot", sum(col("n")).over(fromTotal))
+        .withColumn("permille", expr("(n * 1000) DIV tot"))
+        .select(col("from_type"), col("to_type"), col("n"), col("permille"))
+    },
+    Some("""
+      WITH steps AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      matrix AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS permille
+      FROM matrix"""),
+    tags = Set("behavior"))
+
+  /** Audience overlap: for every unordered pair of event types, how
+    * many users did BOTH (plus each side's audience size and the
+    * integer-permille Jaccard). The plan distincts (user, type) FIRST
+    * — the self-join then fans out at most C(|types|, 2) rows per
+    * user, never per event. Per-type audience sizes are a tiny frame
+    * broadcast onto the pair matrix. */
+  val segmentOverlap: GQuery = GQuery(
+    "op_segment_overlap",
+    (s, dir) => {
+      val ut = Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+      val pairs = ut.as("x")
+        .join(ut.as("y"), "user_id")
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("seg_a"), col("y.event_type").as("seg_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("seg_a"), col("sz").as("n_a"))), "seg_a")
+        .join(broadcast(sizes.select(col("event_type").as("seg_b"), col("sz").as("n_b"))), "seg_b")
+        .withColumn("jaccard_permille",
+          expr("(n_both * 1000) DIV (n_a + n_b - n_both)"))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard_permille"))
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      sizes AS (SELECT event_type, count(*) AS sz FROM ut GROUP BY 1),
+      pairs AS (
+        SELECT x.event_type AS seg_a, y.event_type AS seg_b, count(*) AS n_both
+        FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT seg_a, seg_b, sa.sz AS n_a, sb.sz AS n_b, n_both,
+             (n_both * 1000) // (sa.sz + sb.sz - n_both) AS jaccard_permille
+      FROM pairs
+      JOIN sizes sa ON sa.event_type = seg_a
+      JOIN sizes sb ON sb.event_type = seg_b"""),
+    tags = Set("behavior"))
+
+  /** RFM segmentation: per-customer recency (last order day),
+    * frequency (order count), monetary (cents sum), each cut into
+    * quintiles by `ntile(5)` with a full deterministic order
+    * (metric, then custkey — ntile is position-based, so the
+    * tie-break is load-bearing for engine parity). Output is the
+    * 125-cell segment summary, not the per-customer labels.
+    *
+    * Scale note: the three global ntile windows sort the CUSTOMER
+    * aggregate (|orders|/10 rows), not the fact table — at 100 TB
+    * the production spelling swaps exact ntile for fixed thresholds
+    * from `approx_percentile` (one pass, no global sort), exactly as
+    * [[Relational.approxQuantile]] demonstrates; the exact spelling
+    * here is what the oracle can replay bit-for-bit. */
+  val rfmSegments: GQuery = GQuery(
+    "op_rfm",
+    (s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      val scored = cust
+        .withColumn("r_q", ntile(5).over(
+          Window.orderBy(col("last_day").desc, col("o_custkey"))).cast("long"))
+        .withColumn("f_q", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+        .withColumn("m_q", ntile(5).over(
+          Window.orderBy(col("monetary_cents").desc, col("o_custkey"))).cast("long"))
+      scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("segment_cents"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT o_custkey, max(o_orderdate::DATE) AS last_day, count(*) AS freq,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+        FROM orders GROUP BY 1),
+      scored AS (
+        SELECT CAST(ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) AS r_q,
+               CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_q,
+               monetary_cents
+        FROM cust)
+      SELECT r_q, f_q, m_q, count(*) AS n_customers,
+             CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+      FROM scored GROUP BY 1, 2, 3"""),
+    tags = Set("behavior"))
+
+  /** Data-quality constraint audit (Deequ-shaped): N declarative
+    * rules over lineitem evaluated in ONE conditional-aggregate scan
+    * (each rule a `sum(CASE WHEN violated)` — map-side combined, no
+    * per-rule pass), plus one FK-orphan rule as a left-anti join
+    * count, emitted as a per-rule (rule, violations, checked) report.
+    * This is the audit an ingest pipeline runs on every 100 TB batch
+    * before admitting it; thresholds are deliberately tighter than
+    * the generator's domains so some rules FIRE (a report of
+    * all-zeros would prove nothing about the counting). */
+  val dqAudit: GQuery = GQuery(
+    "op_dq_audit",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val scanRules = l.agg(
+        viol(col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 50)
+          .as("quantity_domain"),
+        viol(col("l_discount") < 0 || col("l_discount") > 0.06).as("discount_cap"),
+        viol(col("l_extendedprice") <= 0).as("price_positive"),
+        viol(!col("l_returnflag").isin("A", "N", "R")).as("returnflag_domain"),
+        viol(col("l_shipdate").isNull ||
+          col("l_shipdate") < lit("1992-01-01").cast("timestamp") ||
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp")).as("shipdate_range"),
+        count(lit(1)).as("checked"))
+      val unpivoted = scanRules.selectExpr(
+        """stack(5,
+             'quantity_domain', quantity_domain,
+             'discount_cap', discount_cap,
+             'price_positive', price_positive,
+             'returnflag_domain', returnflag_domain,
+             'shipdate_range', shipdate_range) AS (rule, violations)""",
+        "checked")
+      val orphans = l.join(
+          Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orderkey_fk").as("rule"), col("violations"))
+        .crossJoin(broadcast(l.agg(count(lit(1)).as("checked"))))
+        .select(col("rule"), col("violations"), col("checked"))
+      unpivoted.select(col("rule"), col("violations"), col("checked"))
+        .unionByName(orphans)
+    },
+    Some("""
+      WITH scan AS (
+        SELECT
+          sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+              THEN 1 ELSE 0 END) AS quantity_domain,
+          sum(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END) AS discount_cap,
+          sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_positive,
+          sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS returnflag_domain,
+          sum(CASE WHEN l_shipdate IS NULL OR l_shipdate < TIMESTAMP '1992-01-01'
+              OR l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS shipdate_range,
+          count(*) AS checked
+        FROM lineitem),
+      rules AS (
+        SELECT 'quantity_domain' AS rule, CAST(quantity_domain AS BIGINT) AS violations, checked FROM scan
+        UNION ALL SELECT 'discount_cap', CAST(discount_cap AS BIGINT), checked FROM scan
+        UNION ALL SELECT 'price_positive', CAST(price_positive AS BIGINT), checked FROM scan
+        UNION ALL SELECT 'returnflag_domain', CAST(returnflag_domain AS BIGINT), checked FROM scan
+        UNION ALL SELECT 'shipdate_range', CAST(shipdate_range AS BIGINT), checked FROM scan
+        UNION ALL
+        SELECT 'orderkey_fk',
+               (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+               (SELECT count(*) FROM lineitem))
+      SELECT rule, violations, CAST(checked AS BIGINT) AS checked FROM rules"""),
+    tags = Set("behavior"))
+
+  def all: Seq[GQuery] = Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit)
+}

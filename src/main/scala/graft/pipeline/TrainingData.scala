@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.GQuery
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The corpus-level stages of a training-data pipeline: end-to-end
@@ -681,8 +682,77 @@ object TrainingData {
       FROM toks GROUP BY 1"""),
     tags = Set("pipeline"))
 
+  /** Quality-weighted sampling: each doc's keep probability scales
+    * with a per-row quality proxy (here: length — permille =
+    * clamp(n_chars, 100, 900), the shape a real pipeline feeds from
+    * a quality model's score), decided by the SAME md5-permille coin
+    * as [[sampleStratified]]. Up-weights good docs without a sort, a
+    * shuffle, or a global pass: the plan is a scan-level filter, so
+    * at 100 TB the sample is one map stage. Deterministic — rerunning
+    * keeps exactly the same rows (the coin is the doc id, the rate is
+    * the row itself). */
+  val sampleWeighted: GQuery = GQuery(
+    "pipeline_sample_weighted",
+    (s, dir) =>
+      graft.sources.Tables.documents(s, dir)
+        .withColumn("permille",
+          least(lit(900L), greatest(lit(100L), col("n_chars").cast("long"))))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+            lit(1000L)))
+        .filter(col("bucket") < col("permille"))
+        .select(col("doc_id"), col("n_chars"), col("permille"), col("bucket")),
+    Some("""
+      SELECT doc_id, n_chars, permille, bucket FROM (
+        SELECT doc_id, n_chars,
+               least(900, greatest(100, n_chars)) AS permille,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000 AS bucket
+        FROM documents)
+      WHERE bucket < permille"""),
+    tags = Set("pipeline"))
+
+  /** Curriculum assignment: stage docs easy→hard for staged training.
+    * Difficulty is a per-row proxy (length), cut by FIXED thresholds
+    * (256/384/448 chars → stages 1-4) — thresholds, not ntile,
+    * because a global quantile sort is exactly what a 100 TB
+    * curriculum pass cannot afford (contrast [[graft.operators
+    * .Behavior.rfmSegments]], which documents the same trade). Within
+    * a stage, the read order is a deterministic shuffle: shard =
+    * md5 mod 16, ordinal = row_number per (stage, shard) by the md5
+    * key — parallelism is stages × shards, each partition sorting
+    * only its slice. */
+  val curriculum: GQuery = GQuery(
+    "pipeline_curriculum",
+    (s, dir) => {
+      val staged = graft.sources.Tables.documents(s, dir)
+        .withColumn("stage",
+          when(col("n_chars") < 256, 1L).when(col("n_chars") < 384, 2L)
+            .when(col("n_chars") < 448, 3L).otherwise(4L))
+        .withColumn("skey", md5(col("doc_id").cast("string")))
+        .withColumn("shard",
+          pmod(conv(substring(col("skey"), 1, 6), 16, 10).cast("long"), lit(16L)))
+      staged
+        .withColumn("ord", row_number().over(
+          Window.partitionBy(col("stage"), col("shard"))
+            .orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("stage"), col("shard"), col("ord"))
+    },
+    Some("""
+      WITH staged AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 256 THEN 1 WHEN n_chars < 384 THEN 2
+                    WHEN n_chars < 448 THEN 3 ELSE 4 END AS stage,
+               md5(doc_id::VARCHAR) AS skey,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 16 AS shard
+        FROM documents)
+      SELECT doc_id, CAST(stage AS BIGINT) AS stage, shard,
+             CAST(row_number() OVER (PARTITION BY stage, shard ORDER BY skey, doc_id)
+               AS BIGINT) AS ord
+      FROM staged"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
       shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
-      sampleFixedN, interleave, dataCard)
+      sampleFixedN, interleave, dataCard, sampleWeighted, curriculum)
 }

@@ -645,7 +645,38 @@ object TextAnalysis {
       FROM occ GROUP BY 1, 2"""),
     tags = Set("text"))
 
+  /** Lexical diversity per source — Heaps'-law corpus profiling: how
+    * fast does each slice's vocabulary grow relative to its token
+    * volume? Emits (source, total_tokens, distinct_tokens,
+    * ttr_permille) where ttr is the integer-permille type-token
+    * ratio. A collapsing TTR is the classic symptom of template/
+    * boilerplate contamination, so this is a standing audit next to
+    * [[hashFeatures]]. Plan: token explode → ONE aggregate grouped by
+    * source with `countDistinct` (Spark expands to a two-phase
+    * distinct-then-count, both shuffles keyed on (source, token) then
+    * source — no driver-side vocabulary). */
+  val lexicalDiversity: GQuery = GQuery(
+    "text_lexical_diversity",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("w")).as("distinct_tokens"))
+        .withColumn("ttr_permille", expr("(distinct_tokens * 1000) DIV total_tokens")),
+    Some("""
+      WITH occ AS (SELECT source, t AS w
+                   FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0)
+      SELECT source, count(*) AS total_tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens,
+             (count(DISTINCT w) * 1000) // count(*) AS ttr_permille
+      FROM occ GROUP BY 1"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
-      normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile, hashFeatures)
+      normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile, hashFeatures,
+      lexicalDiversity)
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the behavior/quality family (§2.3b): conservation
+  * laws the oracle's hash check can't state directly — transition
+  * mass, overlap bounds, quintile partitioning, audit coverage. */
+class BehaviorSpec extends SparkSpecBase {
+
+  test("markov transition mass equals events minus stream starts") {
+    val m = SparkEntry.queries("op_markov_transitions")(spark, sfDir).cache()
+    try {
+      val events = sources.Tables.events(spark, sfDir)
+      val total = events.count()
+      val users = events.select(col("user_id")).distinct().count()
+      val mass = m.agg(sum(col("n"))).head().getLong(0)
+      assert(mass == total - users,
+        s"each user contributes (events-1) transitions: $mass != ${total - users}")
+      // permille is a row-conditional probability: within [0, 1000],
+      // and each from-row sums to 1000 minus integer-division dust
+      assert(m.filter(col("permille") < 0 || col("permille") > 1000).isEmpty)
+      val rowSums = m.groupBy(col("from_type")).agg(
+        sum(col("permille")).as("p"), count(lit(1)).as("k"))
+      assert(rowSums.filter(col("p") > 1000 || col("p") <= lit(1000) - col("k")).isEmpty,
+        "integer-division dust bound violated")
+    } finally m.unpersist()
+  }
+
+  test("segment overlap is bounded by its audiences") {
+    val o = SparkEntry.queries("op_segment_overlap")(spark, sfDir).cache()
+    try {
+      assert(o.count() > 0)
+      assert(o.filter(col("n_both") > least(col("n_a"), col("n_b"))).isEmpty)
+      assert(o.filter(col("jaccard_permille") > 1000).isEmpty)
+      assert(o.filter(col("seg_a") >= col("seg_b")).isEmpty, "pairs are ordered seg_a < seg_b")
+    } finally o.unpersist()
+  }
+
+  test("rfm segments partition the customer base into valid quintiles") {
+    val seg = SparkEntry.queries("op_rfm")(spark, sfDir).cache()
+    try {
+      val customers = sources.Tables.orders(spark, sfDir)
+        .select(col("o_custkey")).distinct().count()
+      assert(seg.agg(sum(col("n_customers"))).head().getLong(0) == customers)
+      for (c <- Seq("r_q", "f_q", "m_q"))
+        assert(seg.filter(col(c) < 1 || col(c) > 5).isEmpty, s"$c out of quintile range")
+      val cents = sources.Tables.orders(spark, sfDir)
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head().getLong(0)
+      assert(seg.agg(sum(col("segment_cents"))).head().getLong(0) == cents,
+        "segment cents must conserve total monetary value")
+    } finally seg.unpersist()
+  }
+
+  test("dq audit covers every row once and its planted rules fire") {
+    val audit = SparkEntry.queries("op_dq_audit")(spark, sfDir).cache()
+    try {
+      val n = sources.Tables.lineitem(spark, sfDir).count()
+      assert(audit.filter(col("checked") =!= n).isEmpty, "every rule audits the full table")
+      assert(audit.filter(col("violations") < 0 || col("violations") > col("checked")).isEmpty)
+      val byRule = audit.collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+      assert(byRule("orderkey_fk") == 0L, "generated data has no FK orphans")
+      assert(byRule("discount_cap") > 0L, "the tightened discount rule must fire")
+      assert(byRule("quantity_domain") == 0L)
+    } finally audit.unpersist()
+  }
+
+  test("kcore census shrinks monotonically and matches the degree distribution") {
+    val census = SparkEntry.queries("graph_kcore")(spark, sfDir)
+      .orderBy(col("round")).collect()
+    try {
+      assert(census.length == 3)
+      val nodes = census.map(_.getAs[Long]("n_nodes"))
+      val edges = census.map(_.getAs[Long]("n_edges"))
+      assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a }, "peeling never grows nodes")
+      assert(edges.zip(edges.tail).forall { case (a, b) => b <= a }, "peeling never grows edges")
+      // round 1 keep-set is exactly the degree-distribution mass at d >= 100
+      val fromDist = SparkEntry.queries("graph_degree_distribution")(spark, sfDir)
+        .filter(col("degree") >= 100).agg(sum(col("n_nodes"))).head()
+      val expected = if (fromDist.isNullAt(0)) 0L else fromDist.getLong(0)
+      assert(nodes.head == expected, s"round-1 nodes ${nodes.head} != degree-dist mass $expected")
+    } finally Caches.release()
+  }
+
+  test("link prediction proposes only new, well-supported edges") {
+    val pred = SparkEntry.queries("graph_link_predict")(spark, sfDir).cache()
+    try {
+      assert(pred.count() <= 100)
+      assert(pred.filter(col("common") < 5).isEmpty, "score floor")
+      val existing = graph.Graph.coPurchaseEdges(spark, sfDir)
+      assert(pred.join(existing, Seq("a", "b"), "left_semi").isEmpty,
+        "a predicted link must not already exist")
+    } finally {
+      pred.unpersist()
+      Caches.release()
+    }
+  }
+
+  test("weighted sampling keeps long documents at a higher rate") {
+    val docs = sources.Tables.documents(spark, TestSession.sfDir01)
+      .withColumn("bin", when(col("n_chars") >= 500, "long").otherwise("short"))
+    val kept = SparkEntry.queries("pipeline_sample_weighted")(spark, TestSession.sfDir01)
+      .withColumn("bin", when(col("n_chars") >= 500, "long").otherwise("short"))
+    val total = docs.groupBy("bin").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept.groupBy("bin").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep-rate(long) > keep-rate(short), integer cross-multiplied
+    assert(k.getOrElse("long", 0L) * total("short") > k.getOrElse("short", 0L) * total("long"),
+      s"weighted sampling must favour the high-permille bin: $k of $total")
+  }
+
+  test("curriculum stages respect thresholds and ords are dense per shard") {
+    val cur = SparkEntry.queries("pipeline_curriculum")(spark, TestSession.sfDir01).cache()
+    try {
+      val docs = sources.Tables.documents(spark, TestSession.sfDir01)
+      assert(cur.count() == docs.count(), "every doc is staged")
+      val joined = cur.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      assert(joined.filter(col("stage") === 1 && col("n_chars") >= 256).isEmpty)
+      assert(joined.filter(col("stage") === 4 && col("n_chars") < 448).isEmpty)
+      // ord is a dense 1..n per (stage, shard): max == count
+      val dense = cur.groupBy(col("stage"), col("shard"))
+        .agg(max(col("ord")).as("mx"), count(lit(1)).as("cnt"))
+      assert(dense.filter(col("mx") =!= col("cnt")).isEmpty, "ord must be dense per shard")
+    } finally cur.unpersist()
+  }
+
+  test("lexical diversity ratios are consistent") {
+    val ld = SparkEntry.queries("text_lexical_diversity")(spark, TestSession.sfDir01).cache()
+    try {
+      assert(ld.count() > 0)
+      assert(ld.filter(col("distinct_tokens") > col("total_tokens")).isEmpty)
+      assert(ld.filter(
+        col("ttr_permille") =!= expr("(distinct_tokens * 1000) DIV total_tokens")).isEmpty)
+    } finally ld.unpersist()
+  }
+}

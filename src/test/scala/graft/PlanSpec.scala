@@ -21,7 +21,10 @@ class PlanSpec extends SparkSpecBase {
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_balanced", "dedup_semantic",
       "gen_partsupp_join", "gen_source_format", "gen_aux_profile",
       "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix",
-      "text_keywords", "graph_triangles", "ann_recall_eval")
+      "text_keywords", "graph_triangles", "ann_recall_eval",
+      // 1-row-aggregate cross joins only: the audit's checked-count
+      // attach and the per-round census assembly
+      "op_dq_audit", "graph_kcore")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
