@@ -1096,6 +1096,119 @@ object Relational {
       FROM w WHERE trail_n >= 8 AND v_cents * trail_n > 4 * trail_sum"""),
     tags = Set("relational"))
 
+  /** Column profiler (the `DESCRIBE`/Deequ-profile scan an ingest
+    * runs before anything else): per column — null count, distinct
+    * count, min/max — in ONE pass over the table (every statistic is
+    * a partial-aggregable expression in a single hash-agg; the
+    * distincts expand to Spark's multi-distinct planning, still one
+    * scan). Min/max are emitted through CANONICAL string casts
+    * (integral doubles → bigint, dates → 'YYYY-MM-DD') because raw
+    * float/timestamp formatting is the one thing two engines never
+    * agree on. Output: one row per profiled column. */
+  val profileColumns: GQuery = GQuery(
+    "op_profile_columns",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val agg = l.agg(
+        nulls("l_quantity").as("qty_nulls"),
+        countDistinct(col("l_quantity")).as("qty_distinct"),
+        min(col("l_quantity").cast("long")).cast("string").as("qty_min"),
+        max(col("l_quantity").cast("long")).cast("string").as("qty_max"),
+        nulls("l_returnflag").as("rf_nulls"),
+        countDistinct(col("l_returnflag")).as("rf_distinct"),
+        min(col("l_returnflag")).as("rf_min"),
+        max(col("l_returnflag")).as("rf_max"),
+        nulls("l_shipdate").as("sd_nulls"),
+        countDistinct(col("l_shipdate")).as("sd_distinct"),
+        min(col("l_shipdate").cast("date")).cast("string").as("sd_min"),
+        max(col("l_shipdate").cast("date")).cast("string").as("sd_max"),
+        nulls("l_discount").as("dc_nulls"),
+        countDistinct(col("l_discount")).as("dc_distinct"),
+        min(floor(col("l_discount") * 1000 + lit(0.5)).cast("long")).cast("string").as("dc_min"),
+        max(floor(col("l_discount") * 1000 + lit(0.5)).cast("long")).cast("string").as("dc_max"))
+      agg.selectExpr(
+        """stack(4,
+             'l_quantity',  qty_nulls, qty_distinct, qty_min, qty_max,
+             'l_returnflag', rf_nulls, rf_distinct, rf_min, rf_max,
+             'l_shipdate',   sd_nulls, sd_distinct, sd_min, sd_max,
+             'l_discount_permille', dc_nulls, dc_distinct, dc_min, dc_max)
+           AS (column_name, n_nulls, n_distinct, min_val, max_val)""")
+    },
+    Some("""
+      WITH a AS (
+        SELECT
+          sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+          count(DISTINCT l_quantity) AS qty_distinct,
+          CAST(min(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS qty_min,
+          CAST(max(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS qty_max,
+          sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+          count(DISTINCT l_returnflag) AS rf_distinct,
+          min(l_returnflag) AS rf_min, max(l_returnflag) AS rf_max,
+          sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd_nulls,
+          count(DISTINCT l_shipdate) AS sd_distinct,
+          CAST(min(l_shipdate::DATE) AS VARCHAR) AS sd_min,
+          CAST(max(l_shipdate::DATE) AS VARCHAR) AS sd_max,
+          sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS dc_nulls,
+          count(DISTINCT l_discount) AS dc_distinct,
+          CAST(min(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS VARCHAR) AS dc_min,
+          CAST(max(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS VARCHAR) AS dc_max
+        FROM lineitem)
+      SELECT 'l_quantity' AS column_name, CAST(qty_nulls AS BIGINT) AS n_nulls,
+             CAST(qty_distinct AS BIGINT) AS n_distinct, qty_min AS min_val, qty_max AS max_val FROM a
+      UNION ALL SELECT 'l_returnflag', CAST(rf_nulls AS BIGINT), CAST(rf_distinct AS BIGINT), rf_min, rf_max FROM a
+      UNION ALL SELECT 'l_shipdate', CAST(sd_nulls AS BIGINT), CAST(sd_distinct AS BIGINT), sd_min, sd_max FROM a
+      UNION ALL SELECT 'l_discount_permille', CAST(dc_nulls AS BIGINT), CAST(dc_distinct AS BIGINT), dc_min, dc_max FROM a"""),
+    tags = Set("relational"))
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom on the CALENDAR axis (the id-axis variant
+    * is [[scd2Intervals]]'s interval build): distinct active days,
+    * island key = day_number − row_number (constant within a
+    * consecutive run), one count per island, arg-max per user with a
+    * deterministic earliest-start tie-break. Every stage is keyed on
+    * user_id; the distinct bounds the window input at days, not
+    * events. */
+  val streaks: GQuery = GQuery(
+    "op_streaks",
+    (s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val islands = days
+        .withColumn("grp", col("dn") - row_number().over(byUser))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("start"))
+      islands
+        .withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("len").as("streak_days"),
+          col("start").as("streak_start"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      isl AS (
+        SELECT user_id,
+               CAST(d - DATE '1970-01-01' AS BIGINT)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp,
+               d
+        FROM days),
+      runs AS (
+        SELECT user_id, grp, count(*) AS len, min(d) AS start
+        FROM isl GROUP BY 1, 2),
+      best AS (
+        SELECT user_id, len, start,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start) AS rn
+        FROM runs)
+      SELECT user_id, len AS streak_days, start AS streak_start
+      FROM best WHERE rn = 1"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1103,5 +1216,6 @@ object Relational {
     rangeJoin, asofJoin, sessionize, approxDistinct, saltedAgg, zorderCluster,
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
-    mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing)
+    mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
+    profileColumns, streaks)
 }

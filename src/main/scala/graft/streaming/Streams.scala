@@ -18,6 +18,15 @@ final case class SDoc(doc_id: Long, ingest_ts: Timestamp, text: String)
 final case class SessionAcc(start: Timestamp, end: Timestamp, n_events: Long)
 final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+/** One event on the anomaly stream (adds the id the incident report
+  * needs for a deterministic tie-break and output key). */
+final case class AEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+/** Per-user trailing-window state: the last ≤20 cents values. */
+final case class TrailState(ring: Vector[Long])
+
+final case class AnomalyOut(user_id: Long, event_id: Long, v_cents: Long)
+
 /** §2.5 Structured Streaming over the `events` stream.
   *
   * The transforms are written once and applied to EITHER a batch or a
@@ -321,7 +330,82 @@ object Streams {
       WHERE rn <= 2"""),
     tags = Set("streaming"))
 
+  // ---------------------------------------------- trailing anomaly
+
+  /** The streaming twin of `op_anomaly_trailing`'s trailing-20 rule:
+    * per-user custom state = the ring of the last ≤20 cents values.
+    * An event is flagged when it has ≥8 trailing values and
+    * v·n > 4·Σ (the same cross-multiplied integer test — no floats in
+    * state or rule). State is FIXED-size per user (20 longs) and
+    * evicted by event-time timeout once a user goes quiet past the
+    * watermark — O(active users) state, never O(events). Within a
+    * micro-batch, events sort by (ts, event_id) so replayed batches
+    * reproduce the batch window's order. */
+  def anomalyStream(events: Dataset[AEvent], watermark: String = "2 hours"): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrailState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[AEvent], state: GroupState[TrailState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var ring = state.getOption.map(_.ring).getOrElse(Vector.empty[Long])
+            val out = scala.collection.mutable.Buffer[AnomalyOut]()
+            var lastTs = 0L
+            for (e <- sorted) {
+              val v = math.floor(e.value * 100 + 0.5).toLong
+              val n = ring.size
+              if (n >= 8 && v * n > 4 * ring.sum)
+                out += AnomalyOut(user, e.event_id, v)
+              ring = (ring :+ v).takeRight(20)
+              lastTs = e.ts.getTime
+            }
+            state.update(TrailState(ring))
+            if (lastTs > 0) state.setTimeoutTimestamp(lastTs + 2L * 3600 * 1000)
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[anomalyStream]]: the declarative trailing-frame
+    * window (stays inside Catalyst on batch input), projecting the
+    * same (user_id, event_id, v_cents) incident rows. StreamingSpec
+    * pins stream == batch on ordered input. */
+  def anomalyBatch(events: DataFrame): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    events
+      .withColumn("v_cents", cents)
+      .withColumn("trail_sum", sum(col("v_cents")).over(byTime))
+      .withColumn("trail_n", count(lit(1)).over(byTime))
+      .filter(col("trail_n") >= 8 &&
+        col("v_cents") * col("trail_n") > col("trail_sum") * 4)
+      .select(col("user_id"), col("event_id"), col("v_cents"))
+  }
+
+  /** Batch-parity key for [[anomalyStream]]. */
+  val streamAnomaly: GQuery = GQuery(
+    "stream_anomaly",
+    (s, dir) => anomalyBatch(Tables.events(s, dir)),
+    Some("""
+      WITH t AS (SELECT user_id, event_id, ts,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+                 FROM events),
+      w AS (SELECT user_id, event_id, v_cents,
+                   sum(v_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS trail_n
+            FROM t)
+      SELECT user_id, event_id, v_cents
+      FROM w WHERE trail_n >= 8 AND v_cents * trail_n > 4 * trail_sum"""),
+    tags = Set("streaming"))
+
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
-      streamSlidingWindow, streamTopk)
+      streamSlidingWindow, streamTopk, streamAnomaly)
 }

@@ -122,6 +122,34 @@ class BehaviorSpec extends SparkSpecBase {
     } finally cur.unpersist()
   }
 
+  test("column profile agrees with directly-computed statistics") {
+    val prof = SparkEntry.queries("op_profile_columns")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(prof.size == 4)
+    val l = sources.Tables.lineitem(spark, sfDir)
+    assert(prof("l_quantity").getAs[Long]("n_nulls") == 0L)
+    assert(prof("l_quantity").getAs[Long]("n_distinct") ==
+      l.select(col("l_quantity")).distinct().count())
+    assert(prof("l_quantity").getAs[String]("min_val").toLong >= 1L)
+    assert(prof("l_quantity").getAs[String]("max_val").toLong <= 50L)
+    assert(prof("l_returnflag").getAs[Long]("n_distinct") == 3L)
+  }
+
+  test("streaks are bounded by each user's active-day count") {
+    val st = SparkEntry.queries("op_streaks")(spark, sfDir).cache()
+    try {
+      val users = sources.Tables.events(spark, sfDir)
+        .select(col("user_id")).distinct().count()
+      assert(st.count() == users, "exactly one streak row per user")
+      val daysPerUser = sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .groupBy("user_id").count()
+      val bad = st.join(daysPerUser, "user_id")
+        .filter(col("streak_days") < 1 || col("streak_days") > col("count"))
+      assert(bad.isEmpty, "a streak exceeds the user's active-day count")
+    } finally st.unpersist()
+  }
+
   test("lexical diversity ratios are consistent") {
     val ld = SparkEntry.queries("text_lexical_diversity")(spark, TestSession.sfDir01).cache()
     try {

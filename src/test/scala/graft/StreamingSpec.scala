@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{SDoc, SEvent, Streams}
+import graft.streaming.{AEvent, SDoc, SEvent, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -199,5 +199,36 @@ class StreamingSpec extends SparkSpecBase {
     // an inverted start > end window)
     assert(got.contains((2L, ts("2024-01-01 10:40:00"), ts("2024-01-01 10:45:00"), 2L)), got.toString)
     assert(got.forall(s => !s._2.after(s._3)), s"inverted session window: $got")
+  }
+
+  test("anomalyStream through a MemoryStream equals the batch trailing-frame twin") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: 9 calm events (1.00) then a 10x spike — the spike has
+    // trail_n >= 8 and v*n > 4*sum, so exactly it is flagged
+    val calm = (1 to 9).map(i =>
+      AEvent(1, i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), 1.0))
+    val spike = AEvent(1, 10L, ts("2024-01-01 10:10:00"), 10.0)
+    val other = (1 to 5).map(i =>
+      AEvent(2, (100 + i).toLong, ts(f"2024-01-01 10:${i}%02d:00"), 2.0))
+    val allEvents = (calm :+ spike) ++ other
+    val mem = MemoryStream[AEvent]
+    // split across micro-batches so ring state must survive a batch boundary
+    val q = Streams.anomalyStream(mem.toDS()).writeStream
+      .format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      mem.addData(calm.take(5): _*)
+      q.processAllAvailable()
+      mem.addData((calm.drop(5) :+ spike) ++ other: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out")
+      .select(col("user_id"), col("event_id"), col("v_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streams.anomalyBatch(
+        allEvents.toDF().withColumnRenamed("value", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed == Set((1L, 10L, 1000L)), streamed.toString)
   }
 }
