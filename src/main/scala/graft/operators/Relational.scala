@@ -521,6 +521,42 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** The shard-sketch pattern [[approxDistinct]] only gestures at,
+    * made explicit: per-(group, shard) Datasketches HLL sketches
+    * (`hll_sketch_agg`, lgK=14 → ~0.8% rsd) built independently —
+    * exactly what a 100 TB ingest persists NEXT TO each parquet
+    * partition — then `hll_union_agg`-merged per group and estimated.
+    * No raw id ever crosses shard boundaries in the sketch path; the
+    * merge shuffles KB-sized registers. Like approxDistinct, the key
+    * emits the cross-engine-checkable contract (exact count + a
+    * boolean pinning the MERGED estimate within ±5%, ≈6σ at lgK=14)
+    * rather than the estimate itself; the exact side is the
+    * verification harness, not the operator. */
+  val sketchMerge: GQuery = GQuery(
+    "op_sketch_merge",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val shardSketch = e
+        .withColumn("shard", pmod(col("event_id"), lit(8L)))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val merged = shardSketch
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(broadcast(merged), "event_type")
+        .select(col("event_type"), col("exact_users"),
+          col("est").cast("double")
+            .between(col("exact_users") * 0.95, col("exact_users") * 1.05)
+            .as("merge_within_tol"))
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS merge_within_tol
+      FROM events GROUP BY 1"""),
+    tags = Set("relational"))
+
   /** [[Skew.saltedSum]] as a keyed operator: two-phase salted
     * aggregation over the events table, whose handful of event_type
     * values IS the aggregation-hot-key shape (5 keys over every
@@ -1210,5 +1246,5 @@ object Relational {
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
-    profileColumns, streaks)
+    profileColumns, streaks, sketchMerge)
 }

@@ -150,6 +150,27 @@ class BehaviorSpec extends SparkSpecBase {
     } finally st.unpersist()
   }
 
+  test("sharded HLL union is merge-invariant vs the unsharded sketch") {
+    // the property that makes per-partition sketch persistence sound:
+    // union of independently-built shard sketches estimates the same
+    // as one sketch over the whole stream (same lgK registers, max-
+    // combined) — plus the key's own ±5% contract must hold here too
+    val dir = TestSession.sfDir01
+    val e = sources.Tables.events(spark, dir)
+    val merged = SparkEntry.queries("op_sketch_merge")(spark, dir)
+    assert(merged.filter(!col("merge_within_tol")).isEmpty, "±5% contract violated")
+    val single = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("single_est"))
+    val sharded = e.withColumn("shard", pmod(col("event_id"), lit(8L)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("merged_est"))
+    val diff = single.join(sharded, "event_type")
+      .filter(abs(col("single_est") - col("merged_est")) > col("single_est") * 0.001)
+    assert(diff.isEmpty, "shard-merged estimate diverged from the unsharded sketch")
+  }
+
   test("lexical diversity ratios are consistent") {
     val ld = SparkEntry.queries("text_lexical_diversity")(spark, TestSession.sfDir01).cache()
     try {

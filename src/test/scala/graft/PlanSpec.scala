@@ -40,7 +40,8 @@ class PlanSpec extends SparkSpecBase {
       "text_tokens", "text_quality", "text_langid", "text_entropy",
       "text_normalize", "text_pii", "text_fingerprint",
       "op_zorder_cluster", "pipeline_split_leakproof",
-      "pipeline_sample_stratified", "mm_metadata", "mm_resize", "mm_frame_sample")
+      "pipeline_sample_stratified", "pipeline_sample_weighted",
+      "mm_metadata", "mm_resize", "mm_frame_sample")
     mapOnly.foreach { k =>
       val plan = Registry.byName(k).build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$k claims map-only but plans an Exchange")
