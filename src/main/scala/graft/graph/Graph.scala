@@ -3,6 +3,7 @@ package graft.graph
 import graft.GQuery
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4b graph analytics over the part co-purchase graph (parts are
@@ -343,6 +344,60 @@ object Graph {
       ORDER BY w.common DESC, w.a, w.b LIMIT 100"""),
     tags = Set("graph"))
 
+  /** Synchronous label propagation, 3 unrolled rounds with a TOTAL
+    * tie order: every node adopts the most frequent label among its
+    * neighbors, ties broken by the smaller label — argmax under
+    * (count desc, label asc) is a deterministic function of the
+    * neighborhood, which is what makes an ahead-of-time SQL oracle
+    * possible at all (classic async LPA is run-order-dependent).
+    * Each round: one edge-keyed join pushing labels along adjacency
+    * + one (node, label) count aggregate + a per-node rank over ≤
+    * degree rows. The node-sized label frame broadcasts
+    * ([[khop]]'s trade, same caveat) and each round is an eager
+    * localCheckpoint ([[kcore]]'s lineage-depth lesson). Emits the
+    * final (n, label) assignment. */
+  val labelProp: GQuery = GQuery(
+    "graph_labelprop",
+    (s, dir) => {
+      val pairs = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      val adj = pairs.select(col("a").as("n"), col("b").as("nbr"))
+        .union(pairs.select(col("b").as("n"), col("a").as("nbr")))
+      var labels = adj.select(col("n")).distinct()
+        .withColumn("lab", col("n")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val counted = adj
+          .join(broadcast(labels.select(col("n").as("nbr"), col("lab"))), "nbr")
+          .groupBy(col("n"), col("lab")).agg(count(lit(1)).as("c"))
+        val best = Window.partitionBy(col("n")).orderBy(col("c").desc, col("lab"))
+        labels = counted
+          .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+          .select(col("n"), col("lab")).localCheckpoint()
+      }
+      labels
+    },
+    Some(s"""
+      WITH $pairsSql,
+      adj AS (SELECT a AS n, b AS nbr FROM pairs
+              UNION ALL SELECT b AS n, a AS nbr FROM pairs),
+      l0 AS (SELECT DISTINCT n, n AS lab FROM adj),
+      r1 AS (SELECT n, lab FROM (
+               SELECT adj.n, l0.lab, count(*) AS c,
+                      row_number() OVER (PARTITION BY adj.n
+                                         ORDER BY count(*) DESC, l0.lab) AS rn
+               FROM adj JOIN l0 ON l0.n = adj.nbr GROUP BY 1, 2) WHERE rn = 1),
+      r2 AS (SELECT n, lab FROM (
+               SELECT adj.n, r1.lab, count(*) AS c,
+                      row_number() OVER (PARTITION BY adj.n
+                                         ORDER BY count(*) DESC, r1.lab) AS rn
+               FROM adj JOIN r1 ON r1.n = adj.nbr GROUP BY 1, 2) WHERE rn = 1),
+      r3 AS (SELECT n, lab FROM (
+               SELECT adj.n, r2.lab, count(*) AS c,
+                      row_number() OVER (PARTITION BY adj.n
+                                         ORDER BY count(*) DESC, r2.lab) AS rn
+               FROM adj JOIN r2 ON r2.n = adj.nbr GROUP BY 1, 2) WHERE rn = 1)
+      SELECT n, lab FROM r3"""),
+    tags = Set("graph"))
+
   def all: Seq[GQuery] =
-    Seq(triangles, pagerank, degreeDistribution, khop, kcore, linkPredict)
+    Seq(triangles, pagerank, degreeDistribution, khop, kcore, linkPredict, labelProp)
 }

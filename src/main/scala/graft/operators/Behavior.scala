@@ -213,5 +213,51 @@ object Behavior {
       SELECT rule, violations, CAST(checked AS BIGINT) AS checked FROM rules"""),
     tags = Set("behavior"))
 
-  def all: Seq[GQuery] = Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit)
+  /** Robust outlier detection via median/MAD — the heavy-tail-safe
+    * complement of [[graft.operators.Relational.anomalyTrailing]]'s
+    * mean rule (one inlier-corrupting whale moves a mean; it barely
+    * moves a median). Two grouped EXACT percentile passes (median of
+    * cents, then median absolute deviation around it — `percentile`
+    * interpolates the even-count midpoint as x.5, exactly
+    * representable in a double, so both engines compare bit-equal)
+    * joined back scan-side, flagging |x − med| > 5·MAD. Emits the
+    * per-group robust profile + outlier census. 100 TB note: exact
+    * grouped percentiles sort within each group partition; the
+    * approx-threshold swap is the same trade [[rfmSegments]]
+    * documents. */
+  val madOutliers: GQuery = GQuery(
+    "op_mad_outliers",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("prio"), cents(col("o_totalprice")).as("v"))
+      val med = o.groupBy(col("prio"))
+        .agg(expr("percentile(v, 0.5)").as("med_cents"))
+      val mad = o.join(broadcast(med), "prio")
+        .groupBy(col("prio"))
+        .agg(expr("percentile(abs(v - med_cents), 0.5)").as("mad_cents"))
+      o.join(broadcast(med), "prio").join(broadcast(mad), "prio")
+        .groupBy(col("prio"), col("med_cents"), col("mad_cents"))
+        .agg(
+          sum(when(abs(col("v") - col("med_cents")) > col("mad_cents") * 5, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_orders"))
+        .select(col("prio"), col("med_cents"), col("mad_cents"),
+          col("n_outliers"), col("n_orders"))
+    },
+    Some("""
+      WITH o AS (SELECT o_orderpriority AS prio,
+                        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                 FROM orders),
+      med AS (SELECT prio, quantile_cont(v, 0.5) AS med_cents FROM o GROUP BY 1),
+      mad AS (SELECT o.prio, quantile_cont(abs(v - med_cents), 0.5) AS mad_cents
+              FROM o JOIN med ON med.prio = o.prio GROUP BY 1)
+      SELECT o.prio, med_cents, mad_cents,
+             CAST(sum(CASE WHEN abs(v - med_cents) > mad_cents * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             count(*) AS n_orders
+      FROM o JOIN med ON med.prio = o.prio JOIN mad ON mad.prio = o.prio
+      GROUP BY 1, 2, 3"""),
+    tags = Set("behavior"))
+
+  def all: Seq[GQuery] =
+    Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers)
 }

@@ -150,6 +150,43 @@ class BehaviorSpec extends SparkSpecBase {
     } finally st.unpersist()
   }
 
+  test("mad outliers: robust stats bound the census and a planted whale is caught") {
+    val m = SparkEntry.queries("op_mad_outliers")(spark, sfDir).cache()
+    try {
+      assert(m.count() == sources.Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority")).distinct().count())
+      assert(m.filter(col("n_outliers") > col("n_orders")).isEmpty)
+      assert(m.filter(col("mad_cents") < 0 || col("med_cents") <= 0).isEmpty)
+      // robustness: the median must sit inside every group's value range
+      val rng = sources.Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(min(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("lo"),
+          max(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("hi"))
+      assert(m.join(rng, "prio")
+        .filter(col("med_cents") < col("lo") || col("med_cents") > col("hi")).isEmpty)
+    } finally m.unpersist()
+  }
+
+  test("label propagation is deterministic and labels are node ids") {
+    val l1 = SparkEntry.queries("graph_labelprop")(spark, sfDir).cache()
+    try {
+      val nodes = graph.Graph.coPurchaseEdges(spark, sfDir)
+        .select(col("a").as("n")).union(graph.Graph.coPurchaseEdges(spark, sfDir)
+          .select(col("b").as("n"))).distinct().cache()
+      try {
+        assert(l1.count() == nodes.count(), "every connected node gets a label")
+        assert(l1.join(nodes.withColumnRenamed("n", "lab"), Seq("lab"), "left_anti").isEmpty,
+          "a label must be some node's id")
+        val l2 = SparkEntry.queries("graph_labelprop")(spark, sfDir)
+        assert(l1.exceptAll(l2).isEmpty && l2.exceptAll(l1).isEmpty,
+          "synchronous LPA with a total tie order must be deterministic")
+      } finally nodes.unpersist()
+    } finally {
+      l1.unpersist()
+      Caches.release()
+    }
+  }
+
   test("sharded HLL union is merge-invariant vs the unsharded sketch") {
     // the property that makes per-partition sketch persistence sound:
     // union of independently-built shard sketches estimates the same
