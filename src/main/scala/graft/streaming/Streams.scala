@@ -22,6 +22,17 @@ final case class SessionOut(user_id: Long, session_start: Timestamp, session_end
   * needs for a deterministic tie-break and output key). */
 final case class AEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
 
+/** One change on the CDC stream (full event shape: the type doubles
+  * as the op code — 'error' is the tombstone). */
+final case class CEvent(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
+/** Per-key CDC state: the winning (latest) change. */
+final case class CdcState(ts: Long, event_id: Long, last_type: String, v_cents: Long)
+
+/** One CDC emission: the key's new current row, or its tombstone. */
+final case class CdcOut(user_id: Long, last_type: String, v_cents: Long, deleted: Boolean)
+
 /** Per-user trailing-window state: the last ≤20 cents values. */
 final case class TrailState(ring: Vector[Long])
 
@@ -387,6 +398,71 @@ object Streams {
       .select(col("user_id"), col("event_id"), col("v_cents"))
   }
 
+  // ---------------------------------------------- CDC materialization
+
+  /** Streaming CDC materialization — the MERGE INTO sequencing pattern
+    * as bounded per-key state: each user's state is exactly the
+    * winning ((ts, event_id)-max) change; a later change overwrites
+    * it, an out-of-order earlier one is ignored, and the 'error' op
+    * is a tombstone. Each trigger emits the keys whose current row
+    * CHANGED (Update-mode semantics: the sink upserts). State is one
+    * fixed-size record per LIVE key — the materialized table itself
+    * is the state, which is the floor for any CDC consumer; keys are
+    * never dropped here because a tombstoned key must keep absorbing
+    * late out-of-order changes (production bounds that with a
+    * retention TTL via timeouts, the [[sessionize]] mechanism). */
+  def cdcStream(changes: Dataset[CEvent]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[CEvent], state: GroupState[CdcState]) =>
+          var cur = state.getOption
+          var changed = false
+          for (e <- evs) {
+            val (kTs, kId) = (e.ts.getTime, e.event_id)
+            if (cur.forall(c => c.ts < kTs || (c.ts == kTs && c.event_id < kId))) {
+              cur = Some(CdcState(e.ts.getTime, e.event_id, e.event_type,
+                math.floor(e.value * 100 + 0.5).toLong))
+              changed = true
+            }
+          }
+          cur.foreach(state.update)
+          if (changed)
+            cur.map(c => CdcOut(user, c.last_type, c.v_cents,
+              deleted = c.last_type == "error")).iterator
+          else Iterator.empty
+      }
+  }
+
+  /** Batch twin of [[cdcStream]]: the declarative last-change-wins
+    * rank ([[graft.operators.Relational.cdcApply]]'s plan), live rows
+    * only — what the materialized table holds after the stream
+    * drains. StreamingSpec pins stream == batch. */
+  def cdcBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("v_cents", cents)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"), col("v_cents"))
+  }
+
+  /** Batch-parity key for [[cdcStream]]. */
+  val streamCdc: GQuery = GQuery(
+    "stream_cdc",
+    (s, dir) => cdcBatch(Tables.events(s, dir)),
+    Some("""
+      WITH last AS (
+        SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_type, v_cents
+      FROM last WHERE rn = 1 AND event_type <> 'error'"""),
+    tags = Set("streaming"))
+
   /** Batch-parity key for [[anomalyStream]]. */
   val streamAnomaly: GQuery = GQuery(
     "stream_anomaly",
@@ -407,5 +483,5 @@ object Streams {
 
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
-      streamSlidingWindow, streamTopk, streamAnomaly)
+      streamSlidingWindow, streamTopk, streamAnomaly, streamCdc)
 }

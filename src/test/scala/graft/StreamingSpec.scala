@@ -201,6 +201,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.forall(s => !s._2.after(s._3)), s"inverted session window: $got")
   }
 
+  test("cdcStream upsert replay equals the batch last-change-wins state") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CEvent
+    val changes = Seq(
+      CEvent(1, 1L, ts("2024-01-01 10:00:00"), "signup", 1.0),
+      CEvent(1, 2L, ts("2024-01-01 10:10:00"), "purchase", 5.0),
+      CEvent(2, 3L, ts("2024-01-01 10:05:00"), "view", 2.0),
+      CEvent(2, 4L, ts("2024-01-01 10:20:00"), "error", 0.0), // tombstone
+      CEvent(3, 5L, ts("2024-01-01 10:30:00"), "click", 7.0),
+      // out-of-order LATE change for user 1 — must NOT win
+      CEvent(1, 0L, ts("2024-01-01 09:00:00"), "view", 9.0))
+    val mem = MemoryStream[CEvent]
+    val q = Streams.cdcStream(mem.toDS()).writeStream
+      .format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      mem.addData(changes.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(changes.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // replay the upsert stream in arrival order: last emission per key
+    // wins; deleted=true removes the key
+    val emitted = spark.table("cdc_out").collect()
+    val replayed = emitted.zipWithIndex
+      .groupBy(_._1.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      .filter(!_._2.getAs[Boolean]("deleted"))
+      .map { case (u, r) => (u, r.getAs[String]("last_type"), r.getAs[Long]("v_cents")) }
+      .toSet
+    val batch = Streams.cdcBatch(changes.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(replayed == batch, s"replayed=$replayed batch=$batch")
+    assert(replayed == Set((1L, "purchase", 500L), (3L, "click", 700L)), replayed.toString)
+  }
+
   test("anomalyStream through a MemoryStream equals the batch trailing-frame twin") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
