@@ -1238,6 +1238,94 @@ object Relational {
       FROM best WHERE rn = 1"""),
     tags = Set("relational"))
 
+  /** Exact-cents proration by the largest-remainder method: allocate
+    * each order's total across its lineitems proportionally to line
+    * value so that the parts sum EXACTLY to the whole — the invoice/
+    * ledger allocation every billing pipeline needs and floating
+    * division can never provide. base_i = (T·w_i) DIV W (int64-safe:
+    * T, w ≤ ~5e7 cents so the product is ≤ ~2.5e15), then the
+    * leftover T − Σbase (< n_lines) goes one cent each to the lines
+    * with the largest division remainder (ties: line number — a total
+    * order, so both engines pick the same lines). Two windows over
+    * the order partition (sum, rank) — one shuffle keyed on
+    * l_orderkey. BehaviorSpec pins Σalloc == T per order. */
+  val prorate: GQuery = GQuery(
+    "op_prorate",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          cents(col("o_totalprice")).as("t")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line"),
+          cents(col("l_extendedprice")).as("w"), col("t"))
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+      val rem = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("frac").desc, col("line"))
+      l.withColumn("bigw", sum(col("w")).over(byOrder))
+        .withColumn("base", expr("(t * w) DIV bigw"))
+        .withColumn("frac", expr("(t * w) % bigw"))
+        .withColumn("leftover", col("t") - sum(col("base")).over(byOrder))
+        .withColumn("rk", row_number().over(rem).cast("long"))
+        .withColumn("alloc_cents",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("l_orderkey"), col("line"), col("alloc_cents"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      d AS (
+        SELECT l_orderkey, line, w, t,
+               sum(w) OVER (PARTITION BY l_orderkey) AS bigw
+        FROM l),
+      b AS (
+        SELECT l_orderkey, line, t,
+               (t * w) // bigw AS base, (t * w) % bigw AS frac
+        FROM d),
+      r AS (
+        SELECT l_orderkey, line, base,
+               t - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+               CAST(row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY frac DESC, line) AS BIGINT) AS rk
+        FROM b)
+      SELECT l_orderkey, line,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+      FROM r"""),
+    tags = Set("relational"))
+
+  /** Incremental aggregate maintenance — the materialized-view merge
+    * algebra: a STORED aggregate (history before a cutoff) merges
+    * with the DELTA batch's aggregate by summing partials, and the
+    * oracle recomputes the aggregate over ALL rows directly — the
+    * hash match IS the proof that count/sum partials compose (the
+    * algebra AQE and partial aggregation rely on, here surfaced as a
+    * user-level incremental-refresh operator; avg derives from
+    * sum/count at read time, never stored). The cutoff is a scalar
+    * subquery (min(ts) + 15 days) so the split replays identically
+    * in both engines at any corpus. */
+  val incrementalAgg: GQuery = GQuery(
+    "op_incremental_agg",
+    (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("v_cents", cents(col("value")))
+      val cutoff = e.agg(expr("min(ts) + INTERVAL 15 DAY").as("c"))
+      val withCut = e.crossJoin(broadcast(cutoff))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v_cents")).as("sum_cents"))
+      val stored = partial(withCut.filter(col("ts") < col("c")))
+      val delta = partial(withCut.filter(col("ts") >= col("c")))
+      stored.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"),
+          sum(col("sum_cents")).as("sum_cents"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1246,5 +1334,5 @@ object Relational {
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
-    profileColumns, streaks, sketchMerge)
+    profileColumns, streaks, sketchMerge, prorate, incrementalAgg)
 }

@@ -751,8 +751,65 @@ object TrainingData {
       FROM staged"""),
     tags = Set("pipeline"))
 
+  /** Dataset snapshot diff — the corpus-versioning audit (what changed
+    * between yesterday's crawl and today's?): full outer join of two
+    * snapshots on doc_id comparing CONTENT hashes, each doc classified
+    * added / removed / changed / unchanged, emitted as the per-status
+    * census. The "previous" snapshot is derived in-query as a
+    * deterministic stand-in for reading a second snapshot directory
+    * (a production call passes two real roots): ~10% of current docs
+    * are absent from it (→ added), docs on a second coin carry a
+    * stale content hash (→ changed), and a third coin contributes
+    * retired synthetic ids (→ removed). One join keyed on doc_id;
+    * hashes computed scan-side so the join carries 32-byte digests,
+    * never text. */
+  val datasetDiff: GQuery = GQuery(
+    "pipeline_dataset_diff",
+    (s, dir) => {
+      val b = graft.sources.Tables.documents(s, dir)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+            lit(1000L)))
+        .select(col("doc_id"), col("bucket"), md5(col("text")).as("h"))
+      val prevLive = b.filter(pmod(col("bucket"), lit(10L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("bucket"), lit(7L)) === 0, md5(concat(col("h"), lit("_v0"))))
+            .otherwise(col("h")).as("old_h"))
+      val prevRetired = b.filter(pmod(col("bucket"), lit(13L)) === 0)
+        .select((-col("doc_id") - 1).as("doc_id"), col("h").as("old_h"))
+      val prev = prevLive.unionByName(prevRetired)
+      b.select(col("doc_id"), col("h"))
+        .join(prev, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_h").isNull, "added")
+            .when(col("h").isNull, "removed")
+            .when(col("h") =!= col("old_h"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 1000 AS bucket,
+               md5(text) AS h
+        FROM documents),
+      prev AS (
+        SELECT doc_id,
+               CASE WHEN bucket % 7 = 0 THEN md5(h || '_v0') ELSE h END AS old_h
+        FROM b WHERE bucket % 10 <> 0
+        UNION ALL
+        SELECT -doc_id - 1, h FROM b WHERE bucket % 13 = 0),
+      d AS (
+        SELECT CASE WHEN p.old_h IS NULL THEN 'added'
+                    WHEN c.h IS NULL THEN 'removed'
+                    WHEN c.h <> p.old_h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM b c FULL OUTER JOIN prev p USING (doc_id))
+      SELECT status, count(*) AS n_docs FROM d GROUP BY 1"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
       shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
-      sampleFixedN, interleave, dataCard, sampleWeighted, curriculum)
+      sampleFixedN, interleave, dataCard, sampleWeighted, curriculum, datasetDiff)
 }

@@ -187,6 +187,43 @@ class BehaviorSpec extends SparkSpecBase {
     }
   }
 
+  test("proration conserves every order's total exactly") {
+    val p = SparkEntry.queries("op_prorate")(spark, sfDir).cache()
+    try {
+      val totals = sources.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("t"))
+      // Σalloc == T per order, to the cent — the operator's contract
+      val bad = p.groupBy(col("l_orderkey")).agg(sum(col("alloc_cents")).as("a"))
+        .join(totals, "l_orderkey").filter(col("a") =!= col("t"))
+      assert(bad.isEmpty, "largest-remainder proration must conserve the total")
+      // only lineitems of real orders, one allocation per line
+      assert(p.count() == sources.Tables.lineitem(spark, sfDir)
+        .join(totals, Seq("l_orderkey"), "left_semi").count())
+    } finally p.unpersist()
+  }
+
+  test("incremental aggregate merge equals direct recomputation") {
+    val inc = SparkEntry.queries("op_incremental_agg")(spark, sfDir)
+    val direct = sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+    assert(inc.exceptAll(direct).isEmpty && direct.exceptAll(inc).isEmpty,
+      "stored+delta merge must equal the full recompute")
+  }
+
+  test("dataset diff census is complete and consistent") {
+    val d = SparkEntry.queries("pipeline_dataset_diff")(spark, TestSession.sfDir01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = sources.Tables.documents(spark, TestSession.sfDir01).count()
+    // every CURRENT doc is exactly one of added/changed/unchanged
+    assert(d.getOrElse("added", 0L) + d.getOrElse("changed", 0L) +
+      d.getOrElse("unchanged", 0L) == n, d.toString)
+    assert(d.getOrElse("removed", 0L) > 0, "retired synthetic ids must show as removed")
+    assert(d.getOrElse("added", 0L) > 0 && d.getOrElse("changed", 0L) > 0, d.toString)
+  }
+
   test("sharded HLL union is merge-invariant vs the unsharded sketch") {
     // the property that makes per-partition sketch persistence sound:
     // union of independently-built shard sketches estimates the same

@@ -23,8 +23,9 @@ class PlanSpec extends SparkSpecBase {
       "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix",
       "text_keywords", "graph_triangles", "ann_recall_eval",
       // 1-row-aggregate cross joins only: the audit's checked-count
-      // attach and the per-round census assembly
-      "op_dq_audit", "graph_kcore")
+      // attach, the per-round census assembly, and the incremental
+      // aggregate's scalar cutoff
+      "op_dq_audit", "graph_kcore", "op_incremental_agg")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
