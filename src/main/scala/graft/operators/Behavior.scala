@@ -258,6 +258,86 @@ object Behavior {
       GROUP BY 1, 2, 3"""),
     tags = Set("behavior"))
 
+  /** Time-weighted average — the metering/billing integral over an
+    * irregularly-sampled step signal: each reading holds until the
+    * next one, so its weight is its holding DURATION, not its count
+    * (a plain avg over-weights bursts). One `lead` window per user
+    * (same single keyed shuffle as [[markovTransitions]]); the last
+    * reading of a user has no duration and drops out, exactly as in a
+    * metering close. Durations are exact integer MILLISECONDS
+    * (`unix_millis` ↔ DuckDB `epoch_ms` — whole-second truncation
+    * diverged between engines on sub-second timestamps; ms keeps the
+    * cents·ms products inside int64 where µs would overflow the
+    * per-user sum). Emitted as exact integer numerator (cents·ms) and
+    * denominator (ms) plus their integer-division quotient — the
+    * division happens once at read time, never inside the aggregate,
+    * so partial sums stay order-independent. */
+  val timeWeightedAvg: GQuery = GQuery(
+    "op_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .withColumn("dur_ms",
+          unix_millis(lead(col("ts"), 1).over(w).cast("timestamp"))
+            - unix_millis(col("ts").cast("timestamp")))
+        .filter(col("dur_ms").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("dur_ms") * col("v_cents")).as("num_cents_ms"),
+          sum(col("dur_ms")).as("den_ms"))
+        .withColumn("twap_cents", expr("num_cents_ms DIV den_ms"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+               epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 - epoch_ms(ts) AS dur_ms
+        FROM events)
+      SELECT user_id,
+             CAST(sum(dur_ms * v_cents) AS BIGINT) AS num_cents_ms,
+             CAST(sum(dur_ms) AS BIGINT) AS den_ms,
+             CAST(sum(dur_ms * v_cents) AS BIGINT) // CAST(sum(dur_ms) AS BIGINT) AS twap_cents
+      FROM t WHERE dur_ms IS NOT NULL
+      GROUP BY 1"""),
+    tags = Set("behavior"))
+
+  /** Recency-weighted engagement score with INTEGER exponential decay:
+    * half-life = one week, implemented as a right shift by the event's
+    * age in weeks (v DIV 2^w — exact, monotone, engine-identical; a
+    * float pow() would drift). The reference day is the corpus max —
+    * a 1-row broadcast scalar, the same spelling as
+    * [[graft.operators.Relational.incrementalAgg]]'s cutoff. One
+    * map-side projection + one keyed aggregate; the decay weighting
+    * adds zero shuffle. */
+  val decayScore: GQuery = GQuery(
+    "op_decay_score",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), cents(col("value")).as("v_cents"))
+      val ref = e.agg(max(col("d")).as("ref_d"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age_w",
+          least(expr("datediff(ref_d, d) DIV 7"), lit(62L)).cast("int"))
+        .withColumn("decayed", expr("shiftright(v_cents, age_w)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("decayed")).as("decayed_cents"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts::DATE AS d,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events),
+      r AS (SELECT max(d) AS ref_d FROM e)
+      SELECT user_id,
+             CAST(sum(v_cents >> least((ref_d - d) // 7, 62)) AS BIGINT) AS decayed_cents,
+             count(*) AS n_events
+      FROM e, r
+      GROUP BY 1"""),
+    tags = Set("behavior"))
+
   def all: Seq[GQuery] =
-    Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers)
+    Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers,
+      timeWeightedAvg, decayScore)
 }

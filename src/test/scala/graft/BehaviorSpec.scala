@@ -224,6 +224,40 @@ class BehaviorSpec extends SparkSpecBase {
     assert(d.getOrElse("added", 0L) > 0 && d.getOrElse("changed", 0L) > 0, d.toString)
   }
 
+  test("time-weighted average telescopes and stays inside the value range") {
+    val twap = SparkEntry.queries("op_time_weighted_avg")(spark, sfDir).cache()
+    try {
+      // the duration sum telescopes to (last ts - first ts) per user
+      val span = sources.Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg((unix_millis(max(col("ts")).cast("timestamp"))
+          - unix_millis(min(col("ts")).cast("timestamp"))).as("span_ms"))
+      assert(twap.join(span, "user_id").filter(col("den_ms") =!= col("span_ms")).isEmpty,
+        "holding durations must telescope to the observation span")
+      // a weighted mean cannot leave the value hull
+      val hull = sources.Tables.events(spark, sfDir)
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy(col("user_id")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      assert(twap.join(hull, "user_id")
+        .filter(col("twap_cents") < col("lo") || col("twap_cents") > col("hi")).isEmpty)
+    } finally twap.unpersist()
+  }
+
+  test("decay score is bounded by the undecayed sum and conserves event counts") {
+    val d = SparkEntry.queries("op_decay_score")(spark, sfDir).cache()
+    try {
+      val plain = sources.Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("raw_cents"),
+          count(lit(1)).as("n"))
+      val j = d.join(plain, "user_id")
+      assert(j.filter(col("decayed_cents") > col("raw_cents")).isEmpty,
+        "decay can only shrink")
+      assert(j.filter(col("n_events") =!= col("n")).isEmpty)
+      assert(d.filter(col("decayed_cents") < 0).isEmpty)
+    } finally d.unpersist()
+  }
+
   test("sharded HLL union is merge-invariant vs the unsharded sketch") {
     // the property that makes per-partition sketch persistence sound:
     // union of independently-built shard sketches estimates the same
