@@ -25,7 +25,7 @@ class PlanSpec extends SparkSpecBase {
       // 1-row-aggregate cross joins only: the audit's checked-count
       // attach, the per-round census assembly, and the incremental
       // aggregate's scalar cutoff
-      "op_dq_audit", "graph_kcore", "op_incremental_agg")
+      "op_dq_audit", "graph_kcore", "op_incremental_agg", "op_decay_score")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
