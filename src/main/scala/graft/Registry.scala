@@ -47,5 +47,7 @@ object Registry {
     "q18_large_orders", "q21_waiting_suppliers",
     "op_window_running", "op_asof_join",
     "dedup_minhash_lsh", "ann_cosine_topk", "text_quality",
-    "gen_rowcounts")
+    "gen_rowcounts",
+    "graph_triangles", "op_markov_transitions", "stream_cdc",
+    "pipeline_curate")
 }

@@ -87,4 +87,17 @@ class ExplainSpec extends SparkSpecBase {
     // LeftSemi would mean the old agg+semi-join spelling crept back
     assert(!p.contains("LeftSemi"), "unexpected semi-join in curate plan")
   }
+
+  test("op_profile_columns: every union branch scans exactly its one pruned column") {
+    // the profiler's whole point at 100 TB: each per-column aggregate
+    // reads ONE parquet column. ReadSchema in the executed plan must
+    // show four single-column scans, never a wide scan.
+    val p = SparkEntry.queries("op_profile_columns")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val schemas = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size == 4, s"expected 4 pruned scans, got $schemas")
+    schemas.foreach(s =>
+      assert(!s.contains(","), s"a profiler branch scans more than one column: $s"))
+  }
 }
