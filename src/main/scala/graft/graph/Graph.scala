@@ -31,14 +31,17 @@ object Graph {
 
   /** Distinct undirected co-purchase edges (a < b) between parts
     * sharing an order. Spelled as per-order sorted part SETS exploded
-    * into pairs (one lineitem shuffle keyed on l_orderkey + the edge
-    * distinct) rather than the definitional self-join (which shuffles
-    * lineitem TWICE) — measured ~12% faster warm and shared by all
-    * seven graph keys. Per-order fan-out is the spec-bounded basket
-    * C(n,2); the nested transform generates each unordered pair once
-    * (sets are sorted, so a < b by construction). The oracle side
-    * keeps the self-join spelling — two constructions hash-matching
-    * is itself a check. */
+    * into pairs (ONE lineitem shuffle keyed on l_orderkey + the edge
+    * distinct) rather than the definitional self-join, which shuffles
+    * lineitem TWICE. Measured A/B (warm, local[32]): set build wins
+    * ~12% at sf0.1; at sf1 the join build edges it locally (1.9 vs
+    * 2.5 s — the nested transform's per-order array cost vs the
+    * join's second shuffle, which local mode under-prices). The set
+    * spelling is kept because halving shuffled bytes is the constraint
+    * that binds on a real cluster, not local CPU. Per-order fan-out is
+    * the spec-bounded basket C(n,2); sets are sorted so a < b by
+    * construction. The oracle side keeps the self-join spelling — two
+    * constructions hash-matching is itself a check. */
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
