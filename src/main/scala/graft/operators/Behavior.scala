@@ -337,7 +337,49 @@ object Behavior {
       GROUP BY 1"""),
     tags = Set("behavior"))
 
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent PRECEDING non-purchase event. Spelled as a running
+    * max over a packed (ms-timestamp, event_id) key — touches pack to
+    * `ts_ms · 2²² + event_id` (fits int64 while event_id < 4.2 M;
+    * sf1's corpus peaks at ~1 M — the pack width is an explicit
+    * contract, not a hope), purchases read the frame max and decode
+    * the id back out. ONE keyed window pass — no purchases⋈touches
+    * self-join, so the plan cost is the event stream, not
+    * purchases × touches. Purchases with no preceding touch drop out
+    * (standard attribution semantics). */
+  val attribution: GQuery = GQuery(
+    "op_attribution",
+    (s, dir) => {
+      val PACK = 1L << 22
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("touch_key",
+          when(col("event_type") =!= "purchase",
+            unix_millis(col("ts").cast("timestamp")) * PACK + col("event_id")))
+        .withColumn("last_touch", max(col("touch_key")).over(w))
+        .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          pmod(col("last_touch"), lit(PACK)).as("touch_event_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type <> 'purchase'
+                    THEN epoch_ms(ts) * 4194304 + event_id END AS touch_key
+        FROM events),
+      w AS (
+        SELECT user_id, event_id, event_type,
+               max(touch_key) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+        FROM t)
+      SELECT user_id, event_id AS purchase_id,
+             last_touch % 4194304 AS touch_event_id
+      FROM w WHERE event_type = 'purchase' AND last_touch IS NOT NULL"""),
+    tags = Set("behavior"))
+
   def all: Seq[GQuery] =
     Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers,
-      timeWeightedAvg, decayScore)
+      timeWeightedAvg, decayScore, attribution)
 }

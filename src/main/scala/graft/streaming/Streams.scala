@@ -341,6 +341,40 @@ object Streams {
       WHERE rn <= 2"""),
     tags = Set("streaming"))
 
+  // ---------------------------------------------- stream-static enrich
+
+  /** Stream-static enrichment — the most common streaming join: each
+    * event picks up its user's market segment from a STATIC dimension
+    * (broadcast; re-read per micro-batch by Spark, so a dim refresh
+    * is picked up without restarting the query). No state at all —
+    * the stream side never buffers, which is why this is the shape to
+    * prefer over stream-stream joins whenever one side is slowly
+    * changing. Works identically on batch input. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("c_mktsegment").as("segment"), cents.as("v_cents"))
+
+  /** Batch-parity key for [[enrichStream]]: the enriched stream
+    * aggregated per (segment, event_type) — the live per-segment
+    * dashboard the enrichment feeds. */
+  val streamEnrich: GQuery = GQuery(
+    "stream_enrich",
+    (s, dir) =>
+      enrichStream(
+        Tables.events(s, dir).withColumn("value", col("value")),
+        Tables.customer(s, dir))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v_cents")).as("sum_cents")),
+    Some("""
+      SELECT c_mktsegment AS segment, event_type, count(*) AS cnt,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events JOIN customer ON c_custkey = user_id
+      GROUP BY 1, 2"""),
+    tags = Set("streaming"))
+
   // ---------------------------------------------- trailing anomaly
 
   /** The streaming twin of `op_anomaly_trailing`'s trailing-20 rule:
@@ -483,5 +517,5 @@ object Streams {
 
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
-      streamSlidingWindow, streamTopk, streamAnomaly, streamCdc)
+      streamSlidingWindow, streamTopk, streamAnomaly, streamCdc, streamEnrich)
 }

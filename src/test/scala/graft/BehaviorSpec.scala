@@ -258,6 +258,24 @@ class BehaviorSpec extends SparkSpecBase {
     } finally d.unpersist()
   }
 
+  test("attribution credits a real, earlier, non-purchase touch of the same user") {
+    val a = SparkEntry.queries("op_attribution")(spark, sfDir).cache()
+    try {
+      assert(a.count() > 0)
+      val e = sources.Tables.events(spark, sfDir)
+      // the credited touch must exist, belong to the same user, be a
+      // non-purchase, and strictly precede the purchase
+      val touches = e.select(col("user_id").as("tu"), col("event_id").as("touch_event_id"),
+        col("ts").as("tts"), col("event_type").as("ttype"))
+      val purchases = e.select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+      val joined = a.join(touches, "touch_event_id").join(purchases, "purchase_id")
+      assert(joined.count() == a.count(), "every credited touch id must resolve")
+      assert(joined.filter(col("tu") =!= col("user_id")).isEmpty, "cross-user credit")
+      assert(joined.filter(col("ttype") === "purchase").isEmpty, "a purchase credited as touch")
+      assert(joined.filter(col("tts") > col("pts")).isEmpty, "touch after the purchase")
+    } finally a.unpersist()
+  }
+
   test("sharded HLL union is merge-invariant vs the unsharded sketch") {
     // the property that makes per-partition sketch persistence sound:
     // union of independently-built shard sketches estimates the same

@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.forall(s => !s._2.after(s._3)), s"inverted session window: $got")
   }
 
+  test("enrichStream joins a static dim per micro-batch with no state") {
+    import TestSession.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (9L, "FURNITURE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[SEvent]
+    val q = Streams.enrichStream(mem.toDF(), dim).writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .select(col("user_id"), col("ts"), col("segment"), col("v_cents"))
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.enrichStream(events.toDF(), dim)
+      .select(col("user_id"), col("ts"), col("segment"), col("v_cents"))
+      .collect().map(_.toSeq).toSet
+    // stateless per-row enrichment: the stream emits EXACTLY the batch
+    // rows (no watermark holdback, nothing buffered)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.exists(_.toString.contains("BUILDING")), streamed.toString)
+  }
+
   test("cdcStream upsert replay equals the batch last-change-wins state") {
     import TestSession.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
