@@ -557,6 +557,41 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** TIME-based RANGE window frame — the sliding-hour metric every
+    * ROWS frame gets subtly wrong on irregular streams (a ROWS-20
+    * frame spans 2 minutes for a chatty user and 2 days for a quiet
+    * one; RANGE pins the frame to the CLOCK). Ordered by exact epoch
+    * milliseconds with `rangeBetween(-3600000, 0)`: every event sums
+    * its user's trailing wall-clock hour. RANGE semantics make ties
+    * deterministic by construction — all rows at the same order value
+    * join the frame together, so no tie-break column is needed
+    * (contrast every ROWS frame in this file). Same single keyed
+    * shuffle as any partitioned window. */
+  val rangeFrame: GQuery = GQuery(
+    "op_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_millis(col("ts").cast("timestamp")))
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("v_cents", cents(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("v_cents")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).cast("long").as("hour_events"))
+    },
+    Some("""
+      SELECT user_id, event_id, ts,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS hour_cents,
+             CAST(count(*)
+               OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS hour_events
+      FROM events"""),
+    tags = Set("relational"))
+
   /** [[Skew.saltedSum]] as a keyed operator: two-phase salted
     * aggregation over the events table, whose handful of event_type
     * values IS the aggregation-hot-key shape (5 keys over every
@@ -1334,5 +1369,5 @@ object Relational {
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
-    profileColumns, streaks, sketchMerge, prorate, incrementalAgg)
+    profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame)
 }
