@@ -675,8 +675,34 @@ object TextAnalysis {
       FROM occ GROUP BY 1"""),
     tags = Set("text"))
 
+  /** Word frequency spectrum (count-of-counts): how many distinct
+    * words occur exactly n times — the Zipf/Heaps companion to
+    * [[lexicalDiversity]]'s scalar TTR, and the curve
+    * vocabulary-saturation and Good-Turing smoothing estimates read.
+    * Two chained map-side-combined aggregates (word → n, then
+    * n → n_words); output is O(distinct occurrence counts), tiny at
+    * any corpus size. TextSpec-style conservation: Σ n·n_words =
+    * total tokens and Σ n_words = distinct words (pinned in
+    * BehaviorSpec against [[lexicalDiversity]]'s totals). */
+  val freqSpectrum: GQuery = GQuery(
+    "text_freq_spectrum",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("n").as("occurrences"))
+        .agg(count(lit(1)).as("n_words")),
+    Some("""
+      WITH occ AS (SELECT t AS w
+                   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0),
+      freq AS (SELECT w, count(*) AS n FROM occ GROUP BY 1)
+      SELECT n AS occurrences, count(*) AS n_words FROM freq GROUP BY 1"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
       normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile, hashFeatures,
-      lexicalDiversity)
+      lexicalDiversity, freqSpectrum)
 }

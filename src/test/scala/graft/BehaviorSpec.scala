@@ -297,6 +297,20 @@ class BehaviorSpec extends SparkSpecBase {
     assert(diff.isEmpty, "shard-merged estimate diverged from the unsharded sketch")
   }
 
+  test("frequency spectrum conserves token and vocabulary totals") {
+    val dir = TestSession.sfDir01
+    val spec = SparkEntry.queries("text_freq_spectrum")(spark, dir)
+      .agg(sum(expr("occurrences * n_words")).as("tokens"),
+        sum(col("n_words")).as("vocab")).head()
+    val ld = SparkEntry.queries("text_lexical_diversity")(spark, dir)
+      .agg(sum(col("total_tokens")).as("tokens"),
+        sum(col("distinct_tokens")).as("vocab_by_source")).head()
+    assert(spec.getAs[Long]("tokens") == ld.getAs[Long]("tokens"),
+      "Σ n·n_words must equal the corpus token count")
+    // global vocab ≤ Σ per-source vocab (words shared across sources)
+    assert(spec.getAs[Long]("vocab") <= ld.getAs[Long]("vocab_by_source"))
+  }
+
   test("lexical diversity ratios are consistent") {
     val ld = SparkEntry.queries("text_lexical_diversity")(spark, TestSession.sfDir01).cache()
     try {
