@@ -10,6 +10,39 @@ NOT part of the shipped library - dev tooling only.
 import json, sys, glob, os
 import duckdb
 
+def type_class(t):
+    """Collapse a pyarrow type to the equivalence class the driver's
+    value-hash distinguishes. Integer bit-widths and float widths hash
+    identically (python int/float repr), and decimal PRECISION is
+    repr-invisible — but int vs decimal vs float is visible (42 vs
+    Decimal('42') vs 42.0), and decimal SCALE is visible (1 vs 1.00).
+    DuckDB HUGEINT arrives as decimal128(38,0) ⇒ class 'dec0' ≠ 'int'."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"dec{t.scale}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{type_class(t.field(i).type)}"
+                         for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
 def canon(rows, cols):
     # sort columns by name, stringify values, sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -33,17 +66,23 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"MISSING  {name} (no spark result)"); n_bad += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-            grows, gcols = got.fetchall(), [d[0] for d in got.description]
-            want = con.execute(sql)
-            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            grel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            grows, gcols = grel.fetchall(), list(grel.columns)
+            wrel = con.sql(sql)
+            wrows, wcols = wrel.fetchall(), list(wrel.columns)
+            # The driver's hash compare is TYPE-sensitive: DuckDB window/agg
+            # sums over integers promote to HUGEINT (arrow: decimal128(38,0))
+            # while Spark emits int64 — the DB-API description maps BOTH to
+            # NUMBER and cannot see it (the r12 op_markov_transitions escape).
+            # Compare Arrow schemas instead, normalized to the classes the
+            # driver's value-hash distinguishes (int vs decimal vs float;
+            # decimal SCALE matters for repr, precision/bit-width do not).
+            gtypes = sorted((c, type_class(t)) for c, t
+                            in zip(grel.columns, grel.limit(0).arrow().schema.types))
+            wtypes = sorted((c, type_class(t)) for c, t
+                            in zip(wrel.columns, wrel.limit(0).arrow().schema.types))
         except Exception as e:
             print(f"ERROR    {name}: {e}"); n_bad += 1; continue
-        # the driver's hash compare is TYPE-sensitive: DuckDB sums over
-        # integers yield HUGEINT while Spark emits int64 — repr() hides
-        # that (both print as int), so compare declared types as well
-        gtypes = sorted((d[0], str(d[1])) for d in got.description)
-        wtypes = sorted((d[0], str(d[1])) for d in want.description)
         g, gc = canon(grows, gcols)
         w, wc = canon(wrows, wcols)
         if gc != wc:

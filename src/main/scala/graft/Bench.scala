@@ -67,10 +67,17 @@ object Bench {
         // dedup_embedding would read the materialised cache and skip
         // the band pipeline entirely — the reported min would be
         // warm-cache, not a full execution. Release tracked frames
-        // and clear the cache BEFORE the clock starts: every run
-        // pays the whole plan, min stays an honest cold estimator.
+        // BEFORE the clock starts: every run pays the whole plan,
+        // min stays an honest cold estimator. Deliberate exception
+        // (r12 directive): Caches.memo frames — the suite-shared
+        // co-purchase edge list and dup-cluster labels — survive
+        // across keys AND runs, exactly like the materialized shared
+        // inputs a real pipeline fans out from; the bench line then
+        // measures the operator under test, not a 7×-repaid upstream.
+        // (The former blanket spark.catalog.clearCache() would evict
+        // them; per-frame release keeps the discipline targeted. All
+        // src/main persists are Caches-tracked — audited, PlanSpec.)
         Caches.release()
-        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -27,6 +27,49 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once shared frames, keyed on (SparkContext incarnation,
+    * frame id, input dir) — the in-suite reuse path for expensive
+    * frames that MANY registry keys consume as an input (the
+    * co-purchase edge list feeds all 7 graph keys; the dup-cluster
+    * label frame feeds both dedup_components and
+    * pipeline_split_cluster). A real pipeline materializes these once
+    * and fans out; before this memo the suite paid the priciest
+    * computations up to 7×.
+    *
+    * Deliberately NOT drained by [[release]] — these are shared
+    * INPUTS with suite lifetime, not builder-internal scratch; the
+    * cold-run bench discipline applies to the operator under test,
+    * not to its materialized upstream. [[releaseMemos]] is the
+    * explicit end-of-suite drain (also safe mid-suite: consumers
+    * recompute). The context incarnation in the key makes entries
+    * from stopped sessions unreachable; they are swept (not
+    * unpersisted — their context is gone) on the next releaseMemos. */
+  private[graft] def memo(spark: org.apache.spark.sql.SparkSession,
+      id: String, dir: String)(build: => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val key = s"${sc.applicationId}@${sc.startTime}:$id:$dir"
+    val df = memos.computeIfAbsent(key, _ => build.persist())
+    // re-arm if an external clearCache() evicted the entry (persist on
+    // an already-cached frame is a no-op, so this is cheap insurance)
+    if (spark.sharedState.cacheManager.lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty) df.persist()
+    df
+  }
+
+  /** Unpersist and forget every memoized frame; returns how many
+    * live entries were released. */
+  def releaseMemos(): Int = {
+    var n = 0
+    val it = memos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try { e.getValue.unpersist(blocking = false); n += 1 }
+      catch { case _: IllegalStateException => () } // stopped context — just sweep
+    }
+    n
+  }
 
   /** Persist `df` and remember it for the next [[release]]. */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {

@@ -707,9 +707,19 @@ object Dedup {
     * capped candidates, hamming verify, then transitive closure via a
     * recursive CTE — so the hash check covers the graph algorithm,
     * not just the edge list. */
-  val components: GQuery = GQuery(
-    "dedup_components",
-    (s, dir) => {
+  /** The memoized (doc_id, component, is_rep) label frame — built and
+    * persisted ONCE per (context, dir) via [[graft.Caches.memo]]:
+    * it is the engine's priciest computation and at least two keys
+    * consume it (`dedup_components` itself and
+    * `pipeline_split_cluster`'s routing coin); a real curation
+    * pipeline materializes the cluster labels once and every
+    * downstream stage reads them. */
+  private[graft] def componentsFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Caches.memo(s, "dedupComponents", dir)(buildComponents(s, dir))
+
+  private def buildComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       val docs = Tables.documents(s, dir)
       val sigs = simhashSignatures(docs)
       // CONTRACT equal signatures before iterating: same-sig docs are
@@ -735,7 +745,11 @@ object Dedup {
         .join(comp.select(col("doc_id").as("rep"), col("component")), Seq("rep"))
         .select(col("doc_id"), col("component"),
           (col("doc_id") === col("component")).as("is_rep"))
-    },
+  }
+
+  val components: GQuery = GQuery(
+    "dedup_components",
+    (s, dir) => componentsFrame(s, dir),
     Some(s"""
       $componentsOracleChain
       SELECT doc AS doc_id, min(lab) AS component, min(lab) = doc AS is_rep

@@ -42,6 +42,14 @@ object Graph {
     * the spec-bounded basket C(n,2); sets are sorted so a < b by
     * construction. The oracle side keeps the self-join spelling — two
     * constructions hash-matching is itself a check. */
+  /** The memoized suite-shared edge frame: all 7 graph keys consume
+    * the SAME co-purchase edge list, so it is built and persisted
+    * once per (context, dir) via [[graft.Caches.memo]] — the
+    * materialize-once-fan-out shape a real pipeline uses — instead
+    * of each key re-running the lineitem shuffle. */
+  private[graft] def sharedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, "coPurchaseEdges", dir)(coPurchaseEdges(s, dir))
+
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
@@ -71,7 +79,7 @@ object Graph {
   val triangles: GQuery = GQuery(
     "graph_triangles",
     (s, dir) => {
-      val pairs = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      val pairs = sharedEdges(s, dir)
       val deg = pairs.select(col("a").as("n")).union(pairs.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val withDeg = pairs
@@ -130,7 +138,7 @@ object Graph {
   val pagerank: GQuery = GQuery(
     "graph_pagerank",
     (s, dir) => {
-      val pairs = coPurchaseEdges(s, dir)
+      val pairs = sharedEdges(s, dir)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -174,7 +182,7 @@ object Graph {
   val degreeDistribution: GQuery = GQuery(
     "graph_degree_distribution",
     (s, dir) => {
-      val pairs = coPurchaseEdges(s, dir)
+      val pairs = sharedEdges(s, dir)
       pairs.select(col("a").as("n")).union(pairs.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
@@ -200,7 +208,7 @@ object Graph {
   val khop: GQuery = GQuery(
     "graph_khop",
     (s, dir) => {
-      val pairs = coPurchaseEdges(s, dir)
+      val pairs = sharedEdges(s, dir)
       val edges = graft.Caches.persistTracked(
         pairs.select(col("a").as("src"), col("b").as("dst"))
           .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
@@ -263,7 +271,7 @@ object Graph {
     "graph_kcore",
     (s, dir) => {
       val K = 100
-      var edges = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      var edges = sharedEdges(s, dir)
       var rounds = Seq.empty[org.apache.spark.sql.DataFrame]
       for (r <- 1 to 3) {
         val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
@@ -328,7 +336,7 @@ object Graph {
     (s, dir) => {
       val MID_CAP = 96
       val MIN_COMMON = 5
-      val pairs = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      val pairs = sharedEdges(s, dir)
       val adj = pairs.select(col("a").as("n"), col("b").as("nbr"))
         .union(pairs.select(col("b").as("n"), col("a").as("nbr")))
       val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -373,7 +381,7 @@ object Graph {
   val labelProp: GQuery = GQuery(
     "graph_labelprop",
     (s, dir) => {
-      val pairs = graft.Caches.persistTracked(coPurchaseEdges(s, dir))
+      val pairs = sharedEdges(s, dir)
       val adj = pairs.select(col("a").as("n"), col("b").as("nbr"))
         .union(pairs.select(col("b").as("n"), col("a").as("nbr")))
       var labels = adj.select(col("n")).distinct()

@@ -55,7 +55,7 @@ object Behavior {
         SELECT from_type, to_type, count(*) AS n
         FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
       SELECT from_type, to_type, n,
-             (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS permille
+             (n * 1000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS permille
       FROM matrix"""),
     tags = Set("behavior"))
 
@@ -341,9 +341,11 @@ object Behavior {
     * most recent PRECEDING non-purchase event. Spelled as a running
     * max over a packed (ms-timestamp, event_id) key — touches pack to
     * `ts_ms · 2²² + event_id` (fits int64 while event_id < 4.2 M;
-    * sf1's corpus peaks at ~1 M — the pack width is an explicit
-    * contract, not a hope), purchases read the frame max and decode
-    * the id back out. ONE keyed window pass — no purchases⋈touches
+    * sf1's corpus peaks at ~1 M — and the contract is ENFORCED, not
+    * hoped: an event_id ≥ 2²² hits a `raise_error` branch, so a
+    * scale-up past sf≈4.2 fails the job loudly instead of silently
+    * decoding a corrupted touch_event_id), purchases read the frame
+    * max and decode the id back out. ONE keyed window pass — no purchases⋈touches
     * self-join, so the plan cost is the event stream, not
     * purchases × touches. Purchases with no preceding touch drop out
     * (standard attribution semantics). */
@@ -355,7 +357,10 @@ object Behavior {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, dir)
         .withColumn("touch_key",
-          when(col("event_type") =!= "purchase",
+          when(col("event_id") >= PACK,
+            raise_error(concat(lit("op_attribution: event_id "), col("event_id"),
+              lit(" overflows the 2^22 pack width — widen the pack"))).cast("long"))
+          .when(col("event_type") =!= "purchase",
             unix_millis(col("ts").cast("timestamp")) * PACK + col("event_id")))
         .withColumn("last_touch", max(col("touch_key")).over(w))
         .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)

@@ -453,7 +453,7 @@ object TrainingData {
     * hamming verify, recursive closure — then the same coin. */
   val splitCluster: GQuery = GQuery(
     "pipeline_split_cluster",
-    (s, dir) => Dedup.components.build(s, dir)
+    (s, dir) => Dedup.componentsFrame(s, dir)
       .withColumn("cbucket",
         pmod(conv(substring(md5(col("component").cast("string")), 1, 6), 16, 10).cast("long"),
           lit(1000L)))

@@ -54,6 +54,17 @@ final case class AnomalyOut(user_id: Long, event_id: Long, v_cents: Long)
   */
 object Streams {
 
+  /** Parse a `withWatermark`-style delay string ("2 hours",
+    * "30 minutes") to milliseconds, via the same Catalyst interval
+    * grammar Structured Streaming itself uses — so a state-timeout
+    * horizon derived from it can never disagree with the watermark. */
+  private[streaming] def watermarkMillis(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"watermark '$delay' must not use month units")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   private def cents = floor(col("value") * lit(100) + lit(0.5)).cast("long")
 
   /** Tumbling 1-hour window aggregate per event_type. Works on batch
@@ -388,6 +399,10 @@ object Streams {
     * reproduce the batch window's order. */
   def anomalyStream(events: Dataset[AEvent], watermark: String = "2 hours"): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._
+    // State-eviction horizon derives from the SAME lateness bound as the
+    // watermark — a caller passing "30 minutes" must not keep 2 h of state
+    // (or worse, evict while in-watermark events can still arrive).
+    val horizonMs = watermarkMillis(watermark)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -409,7 +424,7 @@ object Streams {
               lastTs = e.ts.getTime
             }
             state.update(TrailState(ring))
-            if (lastTs > 0) state.setTimeoutTimestamp(lastTs + 2L * 3600 * 1000)
+            if (lastTs > 0) state.setTimeoutTimestamp(lastTs + horizonMs)
             out.iterator
           }
       }

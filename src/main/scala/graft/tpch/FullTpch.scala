@@ -85,8 +85,20 @@ object FullTpch {
     * oracle's table-binding WITH list for DuckDB (a second WITH after
     * the prelude would be invalid SQL — one merged clause list is the
     * only spelling that works verbatim in both engines). */
+  /** Every base key's (tables, body, ctes), recorded at construction so
+    * [[all]] can derive the `_v2` alternate-parameter sibling without
+    * duplicating 600 lines of spec text. */
+  private val specs =
+    scala.collection.mutable.LinkedHashMap.empty[(String, Seq[String]), (String, Seq[(String, String)])]
+
   private def key(name: String, tables: Seq[String], body: String,
                   ctes: Seq[(String, String)] = Nil): GQuery = {
+    specs((name, tables)) = (body, ctes)
+    mk(name, tables, body, ctes)
+  }
+
+  private def mk(name: String, tables: Seq[String], body: String,
+                 ctes: Seq[(String, String)] = Nil): GQuery = {
     val cteSql = ctes.map { case (n, q) => s"$n AS ($q)" }
     val sparkSql =
       if (ctes.isEmpty) body
@@ -628,8 +640,103 @@ object FullTpch {
       GROUP BY cntrycode
       ORDER BY cntrycode""")
 
+  // ------------------------------------------- second validation set
+  /** Alternate validation parameters, one set per query — every value a
+    * second LEGAL pick from the spec's parameter range (TPC-H §2.4.x.3
+    * substitution rules) and from the generator's live word domains, so
+    * parity is checked at two points of each parameter space instead of
+    * being overfit to one constant set (r12 directive #7). Substitutions
+    * are literal text swaps applied to the SAME spec text as the base
+    * key — both engines again run identical SQL. Domain re-picks where
+    * the generator's word lists require them (same precedent as the
+    * base suite's Q9 `forest`): Q13's planted comment pattern exists
+    * only for special/requests, so its v2 rotates to a color-word pair
+    * that occurs in the word-salad comments — the NOT LIKE stays live. */
+  private val v2Subs: Map[String, Seq[(String, String)]] = Map(
+    "q1_full_pricing_summary" -> Seq(
+      "DATE '1998-09-02'" -> "DATE '1998-10-02'"), // delta 90 → 60
+    "q2_full_min_cost_supplier" -> Seq(
+      "p_size = 15" -> "p_size = 25",
+      "LIKE '%BRASS'" -> "LIKE '%COPPER'",
+      "r_name = 'EUROPE'" -> "r_name = 'ASIA'"),
+    "q3_full_shipping_priority" -> Seq(
+      "c_mktsegment = 'BUILDING'" -> "c_mktsegment = 'MACHINERY'",
+      "DATE '1995-03-15'" -> "DATE '1995-03-07'"),
+    "q4_full_order_priority" -> Seq(
+      "DATE '1993-07-01'" -> "DATE '1995-04-01'",
+      "DATE '1993-10-01'" -> "DATE '1995-07-01'"),
+    "q5_full_local_supplier" -> Seq(
+      "r_name = 'ASIA'" -> "r_name = 'AMERICA'",
+      "o_orderdate >= DATE '1994-01-01'" -> "o_orderdate >= DATE '1996-01-01'",
+      "o_orderdate < DATE '1995-01-01'" -> "o_orderdate < DATE '1997-01-01'"),
+    "q6_full_forecast_revenue" -> Seq(
+      "l_shipdate >= DATE '1994-01-01'" -> "l_shipdate >= DATE '1995-01-01'",
+      "l_shipdate < DATE '1995-01-01'" -> "l_shipdate < DATE '1996-01-01'",
+      "BETWEEN 0.05 AND 0.07" -> "BETWEEN 0.04 AND 0.06",
+      "l_quantity < 24" -> "l_quantity < 25"),
+    "q7_full_volume_shipping" -> Seq(
+      "'FRANCE'" -> "'ARGENTINA'", "'GERMANY'" -> "'BRAZIL'"),
+    "q8_full_market_share" -> Seq(
+      "'BRAZIL'" -> "'INDIA'", "r_name = 'AMERICA'" -> "r_name = 'ASIA'",
+      "'ECONOMY ANODIZED STEEL'" -> "'STANDARD POLISHED BRASS'"),
+    "q9_full_profit" -> Seq("'%forest%'" -> "'%azure%'"),
+    "q10_full_returned_items" -> Seq(
+      "o_orderdate >= DATE '1993-10-01'" -> "o_orderdate >= DATE '1994-04-01'",
+      "o_orderdate < DATE '1994-01-01'" -> "o_orderdate < DATE '1994-07-01'"),
+    "q11_full_important_stock" -> Seq("n_name = 'GERMANY'" -> "n_name = 'FRANCE'"),
+    "q12_full_priority_class" -> Seq(
+      "IN ('MAIL', 'SHIP')" -> "IN ('RAIL', 'TRUCK')",
+      "l_receiptdate >= DATE '1994-01-01'" -> "l_receiptdate >= DATE '1995-01-01'",
+      "l_receiptdate < DATE '1995-01-01'" -> "l_receiptdate < DATE '1996-01-01'"),
+    "q13_full_customer_distribution" -> Seq(
+      "'%special%requests%'" -> "'%dark%drab%'"),
+    "q14_full_promo_revenue" -> Seq(
+      "l_shipdate >= DATE '1995-09-01'" -> "l_shipdate >= DATE '1994-06-01'",
+      "l_shipdate < DATE '1995-10-01'" -> "l_shipdate < DATE '1994-07-01'"),
+    "q15_full_top_supplier" -> Seq(
+      "DATE '1996-01-01'" -> "DATE '1995-07-01'",
+      "DATE '1996-04-01'" -> "DATE '1995-10-01'"),
+    "q16_full_parts_supplier_cnt" -> Seq(
+      "'Brand#45'" -> "'Brand#21'",
+      "NOT LIKE 'MEDIUM POLISHED%'" -> "NOT LIKE 'LARGE BRUSHED%'",
+      "IN (49, 14, 23, 45, 19, 3, 36, 9)" -> "IN (1, 7, 21, 14, 30, 42, 8, 17)"),
+    "q17_full_small_qty_revenue" -> Seq(
+      "'Brand#23'" -> "'Brand#15'", "'MED BOX'" -> "'LG CAN'"),
+    "q18_full_large_orders" -> Seq(
+      "sum(l_quantity) > 300" -> "sum(l_quantity) > 312"),
+    "q19_full_discounted_revenue" -> Seq(
+      "'Brand#12'" -> "'Brand#21'", "'Brand#23'" -> "'Brand#32'",
+      "'Brand#34'" -> "'Brand#43'",
+      "l_quantity >= 1 AND l_quantity <= 11" -> "l_quantity >= 5 AND l_quantity <= 15",
+      "l_quantity >= 10 AND l_quantity <= 20" -> "l_quantity >= 12 AND l_quantity <= 22",
+      "l_quantity >= 20 AND l_quantity <= 30" -> "l_quantity >= 22 AND l_quantity <= 32"),
+    "q20_full_excess_suppliers" -> Seq(
+      "LIKE 'forest%'" -> "LIKE 'antique%'",
+      "l_shipdate >= DATE '1994-01-01'" -> "l_shipdate >= DATE '1995-01-01'",
+      "l_shipdate < DATE '1995-01-01'" -> "l_shipdate < DATE '1996-01-01'",
+      "n_name = 'CANADA'" -> "n_name = 'PERU'"),
+    "q21_full_waiting_suppliers" -> Seq(
+      "n_name = 'SAUDI ARABIA'" -> "n_name = 'UNITED STATES'"),
+    "q22_full_global_sales" -> Seq(
+      "('13', '31', '23', '29', '30', '18', '17')" ->
+        "('10', '14', '19', '20', '21', '26', '34')"))
+
+  /** The `_v2` sibling of every base key: same spec text, alternate
+    * parameter set. Loud contract: every base key must have a v2 entry,
+    * and every `from` literal must occur in the recorded text (a typo'd
+    * substitution fails object init, not silently no-ops). */
+  private def v2All: Seq[GQuery] = specs.toSeq.map { case ((name, tables), (body, ctes)) =>
+    val subs = v2Subs.getOrElse(name, sys.error(s"no v2 parameter set for $name"))
+    var texts = body +: ctes.map(_._2)
+    for ((from, to) <- subs) {
+      require(texts.exists(_.contains(from)), s"$name v2: '$from' not in spec text")
+      texts = texts.map(_.replace(from, to))
+    }
+    mk(name + "_v2", tables, texts.head, ctes.map(_._1).zip(texts.tail))
+  }
+
   def all: Seq[GQuery] = Seq(
     q1Full, q2Full, q3Full, q4Full, q5Full, q6Full, q7Full, q8Full, q9Full,
     q10Full, q11Full, q12Full, q13Full, q14Full, q15Full, q16Full, q17Full,
-    q18Full, q19Full, q20Full, q21Full, q22Full)
+    q18Full, q19Full, q20Full, q21Full, q22Full) ++ v2All
 }
