@@ -71,14 +71,21 @@ object BenchFormat {
     * @param loads    (loadavg at start, loadavg at end)
     * @param stealPct hypervisor CPU-steal %% across the run (-1 unknown) —
     *                 loadavg can read idle while a shared host starves the
-    *                 guest; steal is the counter that convicts the box */
+    *                 guest; steal is the counter that convicts the box
+    * @param duck     DuckDB seconds per q*_full key, same box + bytes
+    *                 (empty = baseline unavailable). Full line carries
+    *                 the per-query spark/duckdb ratio map; the compact
+    *                 parse target carries {n, geomean, worst} so its
+    *                 size stays key-count-independent. */
   def lines(
       results: Seq[(String, Either[String, Seq[Double]])],
       sfNum: String,
       n: Int,
       warm3: Seq[Double],
       loads: (Double, Double),
-      stealPct: Double): Lines = {
+      stealPct: Double,
+      duck: Seq[(String, Double)] = Nil,
+      floorSec: Double = -1): Lines = {
     val ok = results.collect { case (k, Right(ts)) => (k, ts) }
     val failed = results.collect { case (k, Left(_)) => k }
     val total = ok.map(_._2.head).sum
@@ -93,9 +100,19 @@ object BenchFormat {
       case (k, t) => s""""$k":${if (t < 0) "-1" else f2(t)}"""
     }
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // spark/duckdb ratio per baselined key (spark min over duckdb min;
+    // >1 = slower than DuckDB on the same bytes and box)
+    val sparkMin = ok.toMap
+    val ratios = duck.collect {
+      case (k, d) if d > 0 && sparkMin.contains(k) => (k, sparkMin(k).head / d)
+    }
+    val ratioJson =
+      if (ratios.isEmpty) ""
+      else ratios.map { case (k, r) => s""""$k":${f2(r)}""" }
+        .mkString(""""spark_vs_duckdb":{""", ",", "},")
     val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"""
     val suffix = s"""},"sf":$sfNum,"n":$n,"warm":${f2(warmMed)},""" +
-      s""""load":[${f2(loads._1)},${f2(loads._2)}],"failed":$failedJson}"""
+      s""""load":[${f2(loads._1)},${f2(loads._2)}],$ratioJson"failed":$failedJson}"""
     val full = prefix + entries.mkString(",") + suffix
 
     // compact line: the parse target; size independent of key count
@@ -104,10 +121,22 @@ object BenchFormat {
       .mkString("{", ",", "}")
     val failedCapped = failed.sorted.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedMore = math.max(0, failed.size - 8)
+    // baseline summary, bounded size: count, geometric-mean ratio, and
+    // the worst (key, ratio) — the >2× audit trigger
+    // the fixed per-query cost of the platform on this box (1-row noop
+    // write, median of 3) — see Bench's floor sentinel
+    val floorJson = if (floorSec < 0) "" else s""","floor":${f2(floorSec)}"""
+    val duckJson =
+      if (ratios.isEmpty) ""
+      else {
+        val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+        val (wk, wr) = ratios.maxBy(_._2)
+        s""","duck":{"n":${ratios.size},"geo":${f2(geo)},"worst":["$wk",${f2(wr)}]}"""
+      }
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
         s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}],""" +
-        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)},"slow":$slow""" +
+        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$floorJson$duckJson,"slow":$slow""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""
          else s""","failed":$failedCapped}""")

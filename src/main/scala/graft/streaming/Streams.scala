@@ -530,6 +530,44 @@ object Streams {
       FROM w WHERE trail_n >= 8 AND v_cents * trail_n > 4 * trail_sum"""),
     tags = Set("streaming"))
 
+  // ---------------------------------------------- production file sink
+
+  /** The idempotent merge a production file sink runs per micro-batch:
+    * the batch lands in its OWN `batch_id=<id>` partition under dynamic
+    * partition overwrite, so a REPLAYED batch (crash between the sink
+    * write and the checkpoint commit — the failure window in which
+    * foreachBatch's at-least-once contract would otherwise duplicate
+    * rows) overwrites exactly its own partition instead of appending a
+    * second copy. Batch-id partitioning + dynamic overwrite is the
+    * standard exactly-once-to-files recipe when the target format has
+    * no transactional MERGE; readers see `outDir` as one table and can
+    * drop the `batch_id` column. Exposed separately from
+    * [[sinkToParquet]] so the idempotence property is directly
+    * testable (StreamingSpec replays a batch id by hand). */
+  private[graft] def mergeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
+  /** Drive a streaming frame into a parquet directory through
+    * [[mergeBatch]] with a durable checkpoint: stop + restart with the
+    * same `checkpointDir` resumes from the committed offset, and a
+    * replayed uncommitted batch re-lands idempotently — end-to-end
+    * exactly-once to files. This is the production sink shape for every
+    * streaming operator in this module (the memory sink in the specs is
+    * a test harness, not a deployment surface). */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeBatch(batch.toDF(), batchId, outDir))
+      .start()
+
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
       streamSlidingWindow, streamTopk, streamAnomaly, streamCdc, streamEnrich)
