@@ -59,6 +59,16 @@ object Bench {
     val loadStart = loadAvg()
     val statStart = cpuStat()
 
+    // Keys whose OUTPUT is a Caches.memo frame (r13 verdict #2): the
+    // shared-input memo exemption below is wrong for these — leaving
+    // the memo warm would make timed runs 2..n a cache lookup of the
+    // very frame the key exists to build (r13 reported 0.04 s for a
+    // 5.7 s cold components build). Drop exactly that memo id before
+    // the clock so every timed run pays the true build; consumers of
+    // the frame (pipeline_split_cluster) still find it warm because
+    // the producer's final run re-memoizes it.
+    val memoProducers = Map("dedup_components" -> "dedupComponents")
+
     def runOnce(name: String): Either[String, Double] =
       try {
         // cold-run discipline (round-6 advice): builder-internal
@@ -78,6 +88,7 @@ object Bench {
         // them; per-frame release keeps the discipline targeted. All
         // src/main persists are Caches-tracked — audited, PlanSpec.)
         Caches.release()
+        memoProducers.get(name).foreach(Caches.releaseMemo)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -195,13 +206,26 @@ object Bench {
     spark.stop()
   }
 
-  /** DuckDB wall-seconds per timed q*_full key (min of 2 runs in one
-    * warm process), running the key's ORACLE SQL — the same text both
-    * engines agree on at sf0.01 — retargeted to the bench-sf corpus the
-    * Spark runs just persisted/read. Empty when the corpus is absent
-    * (no q*_full key was timed) or the box lacks python3+duckdb; the
-    * baseline is measurement harness, not shipped-library code, so the
-    * python dependency stays driver-side. */
+  /** How many of the most-expensive non-TPC-H keys also get a DuckDB
+    * baseline line (r13 directive #6: the LLM-pipeline surface should
+    * carry a measured engine-vs-engine number, not just a self-anchor). */
+  private val NonTpchBaselineN = 10
+
+  /** DuckDB wall-seconds per baselined key (min of 2 runs in one warm
+    * process), running the key's ORACLE SQL — the same text both
+    * engines agree on at sf0.01 — retargeted to the bench-sf corpus.
+    * Baselined keys: every timed q*_full key (oracle paths rewritten
+    * to the bench-sf tpch_full corpus) plus the [[NonTpchBaselineN]]
+    * most expensive non-TPC-H keys by Spark min (their oracles bind
+    * bare table names, served here as views over the bench sfDir —
+    * the same setup the driver's correctness gate uses at sf0.01).
+    * Empty when the box lacks python3+duckdb; the baseline is
+    * measurement harness, not shipped-library code, so the python
+    * dependency stays driver-side. Process hygiene (r13 advice):
+    * stderr folded into the output file and waitFor runs BEFORE the
+    * read — a chatty child can neither fill the pipe buffer nor make
+    * the timeout unreachable; per-key result lines are emitted as the
+    * child completes them, so a timeout still yields partial data. */
   private def duckdbBaseline(
       results: Seq[(String, Either[String, Seq[Double]])],
       sfDir: String): Seq[(String, Double)] =
@@ -209,46 +233,79 @@ object Bench {
       val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir).toSeq.lastOption
         .map(_.group(1)).getOrElse("0.1")
       val corpus = java.nio.file.Paths.get(s"/root/repo/dev/tpch_full/sf$sfNum")
+      val haveCorpus = java.nio.file.Files.exists(corpus.resolve("_GEN_VERSION"))
       val fullKey = "^q[0-9]+_full".r
-      val targets = results.collect {
-        case (k, Right(_)) if fullKey.findFirstIn(k).nonEmpty =>
-          k -> Registry.byName(k).oracle.get
-            .replace("dev/tpch_full/sf0.01/", s"dev/tpch_full/sf$sfNum/")
-      }
-      if (targets.isEmpty || !java.nio.file.Files.exists(corpus.resolve("_GEN_VERSION"))) Nil
+      val fullTargets =
+        if (!haveCorpus) Nil
+        else results.collect {
+          case (k, Right(_)) if fullKey.findFirstIn(k).nonEmpty =>
+            k -> Registry.byName(k).oracle.get
+              .replace("dev/tpch_full/sf0.01/", s"dev/tpch_full/sf$sfNum/")
+        }
+      // top-N most expensive non-TPC-H keys whose oracle binds only the
+      // view-served base tables (no dev/ paths — those oracles read
+      // Spark-persisted outputs the bench corpus does not carry)
+      val nonTpch = results.collect {
+        case (k, Right(ts)) if fullKey.findFirstIn(k).isEmpty && !k.startsWith("q") =>
+          (k, ts.head)
+      }.sortBy { case (k, t) => (-t, k) }
+        .iterator
+        .map { case (k, _) => k -> Registry.byName(k).oracle }
+        .collect { case (k, Some(sql)) if !sql.contains("dev/") => k -> sql }
+        .take(NonTpchBaselineN).toSeq
+      val targets = fullTargets ++ nonTpch
+      if (targets.isEmpty) Nil
       else {
         val dir = java.nio.file.Files.createTempDirectory("graft_duck")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         targets.foreach { case (k, sql) =>
           java.nio.file.Files.write(dir.resolve(s"$k.sql"), sql.getBytes(utf8)) }
         val py =
-          """import glob, json, os, sys, time
+          """import glob, os, sys, time
             |import duckdb
-            |d = sys.argv[1]
+            |d, sf_dir = sys.argv[1], sys.argv[2]
             |con = duckdb.connect()
-            |out = {}
+            |for p in sorted(glob.glob(os.path.join(sf_dir, '*.parquet'))):
+            |    t = os.path.basename(p)[:-8]
+            |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+            |                if os.path.isdir(p) else
+            |                f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
             |for p in sorted(glob.glob(os.path.join(d, '*.sql'))):
             |    sql = open(p).read()
             |    best = None
-            |    for _ in range(2):
-            |        t0 = time.perf_counter()
-            |        con.execute(sql).fetchall()
-            |        dt = time.perf_counter() - t0
-            |        best = dt if best is None or dt < best else best
-            |    out[os.path.basename(p)[:-4]] = round(best, 4)
-            |print(json.dumps(out))
+            |    try:
+            |        for _ in range(2):
+            |            t0 = time.perf_counter()
+            |            con.execute(sql).fetchall()
+            |            dt = time.perf_counter() - t0
+            |            best = dt if best is None or dt < best else best
+            |            if best > 60:
+            |                break  # one slow run is signal enough
+            |    except Exception as e:
+            |        print(f"skip {os.path.basename(p)}: {e}", flush=True)
+            |        continue
+            |    print(f'"{os.path.basename(p)[:-4]}": {round(best, 4)}', flush=True)
             |""".stripMargin
         java.nio.file.Files.write(dir.resolve("time_oracles.py"), py.getBytes(utf8))
+        val outFile = dir.resolve("duck.out").toFile
         val proc = new ProcessBuilder(
-          "python3", dir.resolve("time_oracles.py").toString, dir.toString).start()
-        val outText = new String(proc.getInputStream.readAllBytes(), utf8)
+          "python3", dir.resolve("time_oracles.py").toString, dir.toString, sfDir)
+          .redirectErrorStream(true)
+          .redirectOutput(outFile)
+          .start()
         val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { proc.destroyForcibly(); Nil }
-        else {
-          val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-          entry.findAllMatchIn(outText)
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq.sortBy(_._1)
+        if (!done) {
+          proc.destroyForcibly()
+          System.err.println("[bench] duckdb baseline timed out at 600 s — partial column kept")
         }
+        val outText = new String(java.nio.file.Files.readAllBytes(outFile.toPath), utf8)
+        outText.linesIterator.filter(_.startsWith("skip ")).foreach(l =>
+          System.err.println(s"[bench] duckdb $l"))
+        val entry = """^"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)$""".r
+        outText.linesIterator.flatMap {
+          case entry(k, v) => Some(k -> v.toDouble)
+          case _ => None
+        }.toSeq.sortBy(_._1)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] duckdb baseline skipped: ${e.getMessage}")

@@ -131,7 +131,24 @@ object BenchFormat {
       else {
         val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
         val (wk, wr) = ratios.maxBy(_._2)
-        s""","duck":{"n":${ratios.size},"geo":${f2(geo)},"worst":["$wk",${f2(wr)}]}"""
+        // overhead-adjusted ratio (r13 directive #2): subtract the
+        // per-query platform floor (1-row noop write) from the Spark
+        // min before dividing — at small sf the raw ratio mostly
+        // prices local-mode Spark's fixed scheduling/codegen cost,
+        // which a cluster amortizes over 1000 executors; `adj` is the
+        // plan-vs-plan number. Clamped at 5 ms so a query faster than
+        // its own floor measurement can't go nonpositive.
+        val adjJson =
+          if (floorSec <= 0) ""
+          else {
+            val adj = duck.collect {
+              case (k, d) if d > 0 && sparkMin.contains(k) =>
+                math.max(sparkMin(k).head - floorSec, 0.005) / d
+            }
+            val g = math.exp(adj.map(math.log).sum / adj.size)
+            s""","adj":${f2(g)}"""
+          }
+        s""","duck":{"n":${ratios.size},"geo":${f2(geo)}$adjJson,"worst":["$wk",${f2(wr)}]}"""
       }
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +

@@ -58,6 +58,27 @@ object Caches {
     df
   }
 
+  /** Unpersist and forget the memo entries for ONE frame id (any
+    * context incarnation / input dir). This is the bench-honesty path
+    * for registry keys whose OUTPUT is itself the memoized frame
+    * (today: `dedup_components` → "dedupComponents"): for those, a
+    * suite-lifetime memo would turn timed runs 2..n into cache reads,
+    * so the harness drops exactly this id before each clock start
+    * while other keys' shared-input memos stay warm. */
+  def releaseMemo(id: String): Int = {
+    var n = 0
+    val it = memos.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(s":$id:")) {
+        it.remove()
+        try { e.getValue.unpersist(blocking = false); n += 1 }
+        catch { case _: IllegalStateException => () } // stopped context — just sweep
+      }
+    }
+    n
+  }
+
   /** Unpersist and forget every memoized frame; returns how many
     * live entries were released. */
   def releaseMemos(): Int = {

@@ -544,13 +544,16 @@ object Streams {
     * drop the `batch_id` column. Exposed separately from
     * [[sinkToParquet]] so the idempotence property is directly
     * testable (StreamingSpec replays a batch id by hand). */
-  private[graft] def mergeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  private[graft] def mergeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    // per-write option, NOT a session conf set (r13 advice): mutating
+    // spark.sql.sources.partitionOverwriteMode on the shared session
+    // would silently switch every later partitioned overwrite in the
+    // application from static (truncate) to dynamic semantics
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-  }
 
   /** Drive a streaming frame into a parquet directory through
     * [[mergeBatch]] with a durable checkpoint: stop + restart with the
@@ -568,7 +571,43 @@ object Streams {
         mergeBatch(batch.toDF(), batchId, outDir))
       .start()
 
+  /** Registry key driving the PRODUCTION file sink end-to-end
+    * (r13 directive #7: make the exactly-once sink driver-checked,
+    * not just spec-checked). The build stages the events table as a
+    * 3-file parquet directory, streams it back with
+    * `maxFilesPerTrigger=1` (≥3 real micro-batches through
+    * [[mergeBatch]]'s dynamic-partition overwrite), then re-lands
+    * batch 0 BY HAND — the crash-replay window foreachBatch's
+    * at-least-once contract exposes — before reading the sink
+    * directory back. The oracle is the plain events projection: it
+    * hash-matches only if every row landed exactly once (a duplicated
+    * replay or a dropped batch changes the hash). */
+  val streamSinkParquet: GQuery = GQuery(
+    "stream_sink_parquet",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents.as("v_cents"))
+      ev.repartition(3).write.parquet(s"$tmp/in")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      val q = sinkToParquet(src, s"$tmp/out", s"$tmp/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val b0 = s.read.parquet(s"$tmp/out")
+        .where(col("batch_id") === 0).drop("batch_id")
+      mergeBatch(b0, 0L, s"$tmp/out") // idempotent: overwrites its own partition
+      s.read.parquet(s"$tmp/out").drop("batch_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events"""),
+    tags = Set("streaming"))
+
   def all: Seq[GQuery] =
     Seq(streamWindowedAgg, streamDedup, streamIntervalJoin, streamSessionWindow,
-      streamSlidingWindow, streamTopk, streamAnomaly, streamCdc, streamEnrich)
+      streamSlidingWindow, streamTopk, streamAnomaly, streamCdc, streamEnrich,
+      streamSinkParquet)
 }

@@ -336,4 +336,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.sortBy(_.toString) == rows.sortBy(_.toString),
       s"batch replay changed sink contents: before=$rows after=$after")
   }
+
+  test("stream_sink_parquet registry key: multi-batch file-source run lands every event exactly once") {
+    val sunk = Registry.byName("stream_sink_parquet").build(spark, sfDir)
+    val events = sources.Tables.events(spark, sfDir)
+    val n = events.count()
+    // exactly-once: total rows == source rows AND the event_id set is
+    // duplicate-free — a re-appended replay fails the first, a dropped
+    // micro-batch fails both
+    assert(sunk.count() == n)
+    assert(sunk.select("event_id").distinct().count() == n)
+  }
 }
