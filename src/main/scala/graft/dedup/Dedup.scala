@@ -589,6 +589,12 @@ object Dedup {
     * corpora far beyond 2³⁰ documents. */
   private[graft] val CC_MAX_ROUNDS = 30
 
+  /** Directed-pair count (4 entries per undirected edge) below which
+    * [[componentsOf]] solves the graph with a driver union-find
+    * instead of the distributed fixpoint: ~2M longs ≈ 32 MB raw —
+    * broadcast-build-side order, a hard driver-memory bound. */
+  private[graft] val CC_LOCAL_MAX_PAIRS = 1L << 21
+
   /** Connected components over an undirected near-dup edge list:
     * every vertex ends labeled with the smallest doc_id reachable
     * from it — the canonical dup-cluster id a curation pipeline keys
@@ -619,7 +625,8 @@ object Dedup {
     * memory across rounds, executor-cache durability (same contract
     * as localCheckpoint; a fault-tolerant deployment would checkpoint
     * every ~10 rounds). */
-  private[graft] def componentsOf(verts: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def componentsOf(verts: DataFrame, edges: DataFrame,
+      localMaxPairs: Long = CC_LOCAL_MAX_PAIRS): DataFrame = {
     val spark = verts.sparkSession
     import spark.implicits._
     // undirected edges PLUS a self-loop per edge-vertex: the self-loop
@@ -637,6 +644,47 @@ object Dedup {
     // contracted near-dup graph at test scale collapses to one task
     // per stage, a 100 TB corpus still fans out with the data.
     val nE = ePairs.count()
+    // BROADCAST-SCALE FAST PATH: below [[CC_LOCAL_MAX_PAIRS]] directed
+    // pairs (≈32 MB — the same order as a broadcast-join build side,
+    // which Spark also collects to the driver) the graph is CONTROL
+    // data, not data: a driver union-find labels it in one pass
+    // instead of ~6 fixpoint rounds × ~5 stages of distributed
+    // scheduling (measured at sf0.1: the loop was 2.7 s of a 4.5 s
+    // cold build for a 3.7 k-vertex contracted graph, and its ~30
+    // tiny jobs were the build's variance source). The threshold is
+    // a hard bound on driver memory; a 100 TB near-dup graph takes
+    // the distributed loop below, unchanged. Union-by-min + path
+    // compression: attaching the larger root under the smaller keeps
+    // every root the component MINIMUM, which is exactly the label
+    // contract the distributed fixpoint converges to — both branches
+    // compute the same unique fixpoint, so the oracle cannot tell
+    // them apart.
+    if (nE <= localMaxPairs) {
+      val pairs = ePairs.collect() // bounded by the threshold above
+      ePairs.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) { // path-halving compression
+          parent.put(r, parent.get(parent.get(r)))
+          r = parent.get(r)
+        }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labeled = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val v = it.next(); labeled(i) = (v, find(v)); i += 1 }
+      val labelDf = spark.createDataFrame(labeled.toSeq).toDF("doc_id", "c")
+      return verts.select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
+    }
     val parts = math.max(1L, math.min(nE / 200000L + 1,
       8L * spark.sparkContext.defaultParallelism)).toInt
     val part = new org.apache.spark.HashPartitioner(parts)

@@ -203,25 +203,33 @@ class DedupSpec extends SparkSpecBase {
     assert((r.getLong(3), r.getLong(4)) == ((10L, 20L)), "carried tags wrong")
   }
 
-  test("components labels every doc with its cluster min, singletons included") {
+  test("components labels every doc with its cluster min, singletons included — both branches agree") {
     import TestSession.spark.implicits._
     val verts = (1L to 7L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
-    val got = Dedup.componentsOf(verts, edges).orderBy(col("doc_id")).collect()
+    val want = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+    // default path (small graph → driver union-find)
+    val local = Dedup.componentsOf(verts, edges).orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(local.toSeq == want)
+    // forced distributed fixpoint (localMaxPairs = -1): same unique
+    // fixpoint — the two branches must be indistinguishable
+    val dist = Dedup.componentsOf(verts, edges, localMaxPairs = -1)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.toSeq == want)
   }
 
   test("components converges fast on a path graph (pointer jumping, not O(diameter))") {
     import TestSession.spark.implicits._
     // a 64-long chain: plain neighbor-min needs 63 rounds; the
     // CC_MAX_ROUNDS=30 cap only passes if pointer jumping is doing
-    // its O(log n) job
+    // its O(log n) job. localMaxPairs = -1 forces the distributed
+    // loop — the default would solve this on the driver.
     val n = 64L
     val verts = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.componentsOf(verts, edges).collect()
+    val got = Dedup.componentsOf(verts, edges, localMaxPairs = -1).collect()
     assert(got.forall(_.getLong(1) == 1L), "chain did not collapse to one component")
   }
 

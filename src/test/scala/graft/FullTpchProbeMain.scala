@@ -46,16 +46,19 @@ object FullTpchProbeMain {
           "spark.sql.shuffle.partitions" -> "8"),
         "aqe_off_sp8" -> Seq("spark.sql.adaptive.enabled" -> "false",
           "spark.sql.shuffle.partitions" -> "8"),
-        "coalesce_hard" -> Seq("spark.sql.adaptive.enabled" -> "true",
-          "spark.sql.shuffle.partitions" -> "32",
-          "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"))) {
+        "shj" -> Seq("spark.sql.join.preferSortMergeJoin" -> "false"),
+        "bcast64" -> Seq("spark.sql.join.preferSortMergeJoin" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "64m"),
+        "shj_bcast64" -> Seq("spark.sql.join.preferSortMergeJoin" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "64m"))) {
         confs.foreach { case (c, v) => ss.conf.set(c, v) }
         val ts = (1 to n).map(_ => t(noop(q.build(spark, sfDir)))).sorted
         println(s"$k $label=${f(ts)}")
       }
       ss.conf.set("spark.sql.adaptive.enabled", "true")
       ss.conf.set("spark.sql.shuffle.partitions", "32")
+      ss.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
     spark.stop()
   }
