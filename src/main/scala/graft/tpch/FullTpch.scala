@@ -62,7 +62,7 @@ object FullTpch {
     * subsequent calls are a marker-file read. Synchronized: Verify and
     * Bench run keys sequentially, but two q*_full keys in one JVM must
     * not race the persist. */
-  private[tpch] def ensurePersisted(spark: SparkSession, sf: Double): String = synchronized {
+  private[graft] def ensurePersisted(spark: SparkSession, sf: Double): String = synchronized {
     val root = s"$Root/sf${fmt(sf)}"
     val marker = java.nio.file.Paths.get(root, "_GEN_VERSION")
     val fresh = java.nio.file.Files.exists(marker) &&
@@ -121,12 +121,20 @@ object FullTpch {
     })
   }
 
+  /** name → the exact SQL text the Spark side runs (spec text, CTEs
+    * prefixed) — read by the measurement probes (FullTpchProbeMain)
+    * so layout/stats A/Bs run the SAME text over differently-prepared
+    * catalogs. */
+  private[graft] val sparkSqlOf =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
   private def mk(name: String, tables: Seq[String], body: String,
                  ctes: Seq[(String, String)] = Nil): GQuery = {
     val cteSql = ctes.map { case (n, q) => s"$n AS ($q)" }
     val sparkSql =
       if (ctes.isEmpty) body
       else cteSql.mkString("WITH ", ",\n     ", "\n") + body
+    sparkSqlOf(name) = sparkSql
     val oracleSql =
       (tables.map(t =>
         s"$t AS (SELECT * FROM read_parquet('$OracleRoot/$t.parquet/*.parquet'))") ++ cteSql)

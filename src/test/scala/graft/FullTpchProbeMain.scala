@@ -31,6 +31,8 @@ object FullTpchProbeMain {
 
     // JVM warm-up
     noop(Registry.byName(keys.head).build(spark, sfDir))
+    println("default bloomFilter.enabled = " + scala.util.Try(
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")).getOrElse("<unset>"))
     def f(ts: Seq[Double]) = ts.map(x => f"$x%.3f").mkString("[", ",", "]")
     for (k <- keys) {
       val q = Registry.byName(k)
@@ -46,19 +48,14 @@ object FullTpchProbeMain {
           "spark.sql.shuffle.partitions" -> "8"),
         "aqe_off_sp8" -> Seq("spark.sql.adaptive.enabled" -> "false",
           "spark.sql.shuffle.partitions" -> "8"),
-        "shj" -> Seq("spark.sql.join.preferSortMergeJoin" -> "false"),
-        "bcast64" -> Seq("spark.sql.join.preferSortMergeJoin" -> "true",
-          "spark.sql.autoBroadcastJoinThreshold" -> "64m"),
-        "shj_bcast64" -> Seq("spark.sql.join.preferSortMergeJoin" -> "false",
-          "spark.sql.autoBroadcastJoinThreshold" -> "64m"))) {
+        "bloom_off" -> Seq("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))) {
         confs.foreach { case (c, v) => ss.conf.set(c, v) }
         val ts = (1 to n).map(_ => t(noop(q.build(spark, sfDir)))).sorted
         println(s"$k $label=${f(ts)}")
       }
       ss.conf.set("spark.sql.adaptive.enabled", "true")
       ss.conf.set("spark.sql.shuffle.partitions", "32")
-      ss.conf.set("spark.sql.join.preferSortMergeJoin", "true")
-      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      scala.util.Try(ss.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled"))
     }
     spark.stop()
   }
