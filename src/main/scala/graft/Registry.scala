@@ -29,6 +29,7 @@ object Registry {
       streaming.Streams.all ++
       tpch.TpchGen.all ++
       sources.AuxGen.all ++
+      Seq(sources.Sinks.bucketedJoin) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

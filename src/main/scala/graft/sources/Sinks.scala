@@ -43,6 +43,41 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Registry key driving [[writeBucketed]] end-to-end — the
+    * pay-the-shuffle-once layout pattern, driver-checked (before this
+    * key the exchange-free property lived only in SinksSpec). The
+    * build bucketizes lineitem and orders on the join key into 16
+    * co-bucketed catalog tables (fresh temp path per call — the
+    * write IS part of the operator and of its timed cost), then runs
+    * the fact-fact join with a merge hint: co-bucketed scans feed the
+    * sort-merge join with ZERO shuffle exchange (the spec pins the
+    * plan), which at 100 TB is the difference between shuffling the
+    * fact table on every query and shuffling it once at layout time.
+    * The oracle replays the same join+rollup over the raw tables —
+    * bucketing must not change a single row. */
+  val bucketedJoin: graft.GQuery = graft.GQuery(
+    "op_bucketed_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      writeBucketed(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_lineitem", s"$wh/li", "l_orderkey", 16)
+      writeBucketed(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bkt_orders", s"$wh/or", "o_orderkey", 16)
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_cents"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1"""),
+    tags = Set("sinks"))
+
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it
     * in production paths). */

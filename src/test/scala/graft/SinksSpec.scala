@@ -66,4 +66,19 @@ class SinksSpec extends SparkSpecBase {
     assert(back.orderBy(col("s_suppkey")).collect().toSeq ==
       src.orderBy(col("s_suppkey")).collect().toSeq)
   }
+
+  test("op_bucketed_join registry key: bucketed scans feed the merge join, only the rollup shuffles") {
+    val df = Registry.byName("op_bucketed_join").build(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    // the co-bucketed join itself must not shuffle; the single allowed
+    // Exchange is the final groupBy(o_orderpriority) rollup
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges <= 1, s"expected only the rollup shuffle:\n${plan.take(3000)}")
+    // 5 priority buckets, every lineitem row accounted once
+    val rows = df.collect()
+    assert(rows.length == 5, rows.mkString(","))
+    assert(rows.map(_.getLong(1)).sum == sources.Tables.lineitem(spark, sfDir).count())
+  }
 }
