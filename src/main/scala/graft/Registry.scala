@@ -29,7 +29,7 @@ object Registry {
       streaming.Streams.all ++
       tpch.TpchGen.all ++
       sources.AuxGen.all ++
-      Seq(sources.Sinks.bucketedJoin) ++
+      Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

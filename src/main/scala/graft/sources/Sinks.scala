@@ -78,6 +78,82 @@ object Sinks {
       GROUP BY 1"""),
     tags = Set("sinks"))
 
+  /** One bucketized (lineitem, orders) layout per (context incarnation,
+    * full-TPC-H corpus root): the layout is CORPUS state, written once
+    * and reused by every later call — the same pay-once contract as
+    * [[graft.tpch.FullTpch.ensurePersisted]] itself (keyed on the
+    * context incarnation so entries from stopped sessions are
+    * unreachable). Values are the registered catalog table names. */
+  private val q21Layouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Registry key measuring what the bucketed layout BUYS: textbook
+    * TPC-H Q21 (the suite's worst measured sf10 spark/duck ratio — its
+    * plan over raw parquet is three hash-partition exchanges of
+    * lineitem projections for the EXISTS / NOT EXISTS self-joins plus
+    * an orders exchange, dev/BENCH_NOTES.md round 14) rewritten over
+    * lineitem + orders bucketed on the orderkey. All four fact
+    * exchanges vanish: the co-bucketed scans feed the self-semi, the
+    * self-anti, and the orders join directly, supplier and nation are
+    * broadcast, and the only shuffle left in the whole query is the
+    * final ≤|supplier|-row count-by-s_name (the spec pins exactly one
+    * `Exchange hashpartitioning`). The layout is written once per
+    * corpus (see [[q21Layouts]]) and projects only the four columns the
+    * query family needs — at 100 TB this is "store the fact table
+    * bucketed on its join key", the difference between re-shuffling
+    * lineitem on every query and never shuffling it at all. Companion
+    * of `op_bucketed_join`, which prices the layout write itself (its
+    * every run pays the bucketize); this key prices the queries the
+    * paid-for layout serves. The oracle is BYTE-IDENTICAL to
+    * `q21_full_waiting_suppliers`' (the spec text over the raw
+    * persisted tables): relayout must not change a single row. */
+  val q21Bucketed: graft.GQuery = graft.GQuery(
+    "q21_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val sc = s.sparkContext
+      val (liTable, orTable) = q21Layouts.computeIfAbsent(
+        s"${sc.applicationId}@${sc.startTime}:$root", _ => {
+          val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
+            s"_${q21Layouts.size}"
+          val wh = java.nio.file.Files.createTempDirectory("graft_q21_layout").toString
+          writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
+              .select(col("l_orderkey"), col("l_suppkey"),
+                col("l_receiptdate"), col("l_commitdate")),
+            s"graft_q21b_li$suffix", s"$wh/li", "l_orderkey", 16)
+          writeBucketed(s.read.parquet(s"$root/orders.parquet")
+              .select(col("o_orderkey"), col("o_orderstatus")),
+            s"graft_q21b_or$suffix", s"$wh/or", "o_orderkey", 16)
+          (s"graft_q21b_li$suffix", s"graft_q21b_or$suffix")
+        })
+      val li = s.table(liTable)
+      val late = li.where(col("l_receiptdate") > col("l_commitdate"))
+      // EXISTS: another supplier's line on the same order
+      val multiSupplier = late.as("l1").join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      // NOT EXISTS: no OTHER supplier was also late on that order
+      val soleLate = multiSupplier.as("l1").join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      val fOrders = s.table(orTable).where(col("o_orderstatus") === "F")
+      val supp = s.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val saudi = s.read.parquet(s"$root/nation.parquet")
+        .where(col("n_name") === "SAUDI ARABIA").select(col("n_nationkey"))
+      soleLate
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(saudi), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    },
+    graft.tpch.FullTpch.q21Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it
     * in production paths). */

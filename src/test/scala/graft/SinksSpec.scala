@@ -81,4 +81,27 @@ class SinksSpec extends SparkSpecBase {
     assert(rows.length == 5, rows.mkString(","))
     assert(rows.map(_.getLong(1)).sum == sources.Tables.lineitem(spark, sfDir).count())
   }
+
+  test("q21_full_bucketed: the layout erases every fact exchange and changes no row") {
+    // at sf0.001 the planner would broadcast the tiny lineitem side and
+    // hide the exchanges the layout exists to erase; disable
+    // auto-broadcast (the explicit supplier/nation broadcast() hints
+    // still apply) to see the 100 TB plan shape
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Registry.byName("q21_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw-parquet q21 hash-partitions lineitem three times plus orders
+      // once; over the layout the ONLY shuffle is the final count-by-s_name
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 1, s"expected only the s_name rollup shuffle, got $shuffles:\n${plan.take(4000)}")
+      // relayout must not change a single row vs the spec-text SQL plan
+      val expected = Registry.byName("q21_full_waiting_suppliers").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
