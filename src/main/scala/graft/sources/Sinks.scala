@@ -35,13 +35,22 @@ object Sinks {
     * Registered as an external table at `path` (the catalog holds
     * only metadata; DROP TABLE leaves the files). */
   def writeBucketed(df: DataFrame, table: String, path: String, bucketCol: String,
-      nBuckets: Int, mode: String = "overwrite"): Unit =
-    df.write.mode(mode)
+      nBuckets: Int, mode: String = "overwrite"): Unit = {
+    // repartition on the bucket column first: bucketBy alone writes one
+    // file per (write task, bucket) — a 32-task writer × 32 buckets is
+    // 1024 fragment files whose concatenation is NOT sorted, so every
+    // later merge join re-sorts and the scan pays small-file overhead.
+    // repartition uses the same murmur3 hash as the bucket id, so each
+    // task holds exactly one bucket → ONE sorted file per bucket, and
+    // the scan reports its sort order (merge joins skip the Sort).
+    import org.apache.spark.sql.functions.col
+    df.repartition(nBuckets, col(bucketCol)).write.mode(mode)
       .option("path", path)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Registry key driving [[writeBucketed]] end-to-end — the
     * pay-the-shuffle-once layout pattern, driver-checked (before this
@@ -87,6 +96,7 @@ object Sinks {
   private val q21Layouts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+
   /** Registry key measuring what the bucketed layout BUYS: textbook
     * TPC-H Q21 (the suite's worst measured sf10 spark/duck ratio — its
     * plan over raw parquet is three hash-partition exchanges of
@@ -117,17 +127,33 @@ object Sinks {
         s"${sc.applicationId}@${sc.startTime}:$root", _ => {
           val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
             s"_${q21Layouts.size}"
+          // bucket count bounds the exchange-free scan's parallelism
+          // (one task per bucket): 32 = this box's core count; a
+          // cluster deployment sizes it to executor-cores × executors
           val wh = java.nio.file.Files.createTempDirectory("graft_q21_layout").toString
           writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
               .select(col("l_orderkey"), col("l_suppkey"),
                 col("l_receiptdate"), col("l_commitdate")),
-            s"graft_q21b_li$suffix", s"$wh/li", "l_orderkey", 16)
+            s"graft_q21b_li$suffix", s"$wh/li", "l_orderkey", 32)
           writeBucketed(s.read.parquet(s"$root/orders.parquet")
               .select(col("o_orderkey"), col("o_orderstatus")),
-            s"graft_q21b_or$suffix", s"$wh/or", "o_orderkey", 16)
+            s"graft_q21b_or$suffix", s"$wh/or", "o_orderkey", 32)
           (s"graft_q21b_li$suffix", s"graft_q21b_or$suffix")
         })
-      val li = s.table(liTable)
+      // Run in a sub-session (shares the catalog, so it sees the layout
+      // tables; own conf, so nothing leaks into the caller's session):
+      // bucket-sorted scans only report their sort order under
+      // spark.sql.legacy.bucketedTableScan.outputOrdering — off by
+      // default since Spark 3.0 because it forces one-file-per-bucket
+      // read granularity, which is exactly what writeBucketed's
+      // repartition guarantees — and without it every merge join
+      // re-sorts the already-sorted bucket files. The caller's join-
+      // strategy tuning is carried over so planner A/Bs see this key.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      val li = ss.table(liTable)
       val late = li.where(col("l_receiptdate") > col("l_commitdate"))
       // EXISTS: another supplier's line on the same order
       val multiSupplier = late.as("l1").join(li.as("l2"),
@@ -137,10 +163,10 @@ object Sinks {
       val soleLate = multiSupplier.as("l1").join(late.as("l3"),
         col("l1.l_orderkey") === col("l3.l_orderkey") &&
           col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
-      val fOrders = s.table(orTable).where(col("o_orderstatus") === "F")
-      val supp = s.read.parquet(s"$root/supplier.parquet")
+      val fOrders = ss.table(orTable).where(col("o_orderstatus") === "F")
+      val supp = ss.read.parquet(s"$root/supplier.parquet")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-      val saudi = s.read.parquet(s"$root/nation.parquet")
+      val saudi = ss.read.parquet(s"$root/nation.parquet")
         .where(col("n_name") === "SAUDI ARABIA").select(col("n_nationkey"))
       soleLate
         .join(fOrders, col("l_orderkey") === col("o_orderkey"))

@@ -97,6 +97,10 @@ class SinksSpec extends SparkSpecBase {
       // once; over the layout the ONLY shuffle is the final count-by-s_name
       val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
       assert(shuffles == 1, s"expected only the s_name rollup shuffle, got $shuffles:\n${plan.take(4000)}")
+      // one sorted file per bucket + the sorted-scan conf: the merge
+      // joins consume the buckets' own sort order, no re-sort anywhere
+      val sorts = "\\bSort \\[".r.findAllMatchIn(plan).size
+      assert(sorts == 0, s"expected sort-free merge joins over bucket order, got $sorts:\n${plan.take(4000)}")
       // relayout must not change a single row vs the spec-text SQL plan
       val expected = Registry.byName("q21_full_waiting_suppliers").build(spark, sfDir)
       assert(df.collect().toSeq == expected.collect().toSeq)
