@@ -29,7 +29,8 @@ object Registry {
       streaming.Streams.all ++
       tpch.TpchGen.all ++
       sources.AuxGen.all ++
-      Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed) ++
+      Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed,
+        sources.Sinks.q18Bucketed) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

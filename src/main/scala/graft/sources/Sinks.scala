@@ -93,9 +93,57 @@ object Sinks {
     * [[graft.tpch.FullTpch.ensurePersisted]] itself (keyed on the
     * context incarnation so entries from stopped sessions are
     * unreachable). Values are the registered catalog table names. */
-  private val q21Layouts =
+  private val factLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** The shared orderkey-bucketed fact layout: lineitem + orders
+    * bucket-sorted on the orderkey, projected to the union of the
+    * columns the serving query family (`q21_full_bucketed`,
+    * `q18_full_bucketed`) reads — at 100 TB this is "store the fact
+    * tables bucketed on their join key"; parquet column pruning keeps
+    * each query's scan as narrow as its own column set. Written once
+    * per corpus (see [[factLayouts]]); every key that reads it shares
+    * the one write. Returns the registered (lineitem, orders) catalog
+    * table names. */
+  private def orderkeyLayout(s: SparkSession, root: String): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val sc = s.sparkContext
+    factLayouts.computeIfAbsent(
+      s"${sc.applicationId}@${sc.startTime}:$root", _ => {
+        val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
+          s"_${factLayouts.size}"
+        // bucket count bounds the exchange-free scan's parallelism
+        // (one task per bucket): 32 = this box's core count; a
+        // cluster deployment sizes it to executor-cores × executors
+        val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
+        writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+              col("l_receiptdate"), col("l_commitdate")),
+          s"graft_bktfact_li$suffix", s"$wh/li", "l_orderkey", 32)
+        writeBucketed(s.read.parquet(s"$root/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate")),
+          s"graft_bktfact_or$suffix", s"$wh/or", "o_orderkey", 32)
+        (s"graft_bktfact_li$suffix", s"graft_bktfact_or$suffix")
+      })
+  }
+
+  /** Sub-session for reading the bucketed layout (shares the catalog,
+    * so it sees the layout tables; own conf, so nothing leaks into the
+    * caller's session): bucket-sorted scans only report their sort
+    * order under `spark.sql.legacy.bucketedTableScan.outputOrdering` —
+    * off by default since Spark 3.0 because it forces one-file-per-
+    * bucket read granularity, which is exactly what [[writeBucketed]]'s
+    * repartition guarantees — and without it every merge join re-sorts
+    * the already-sorted bucket files. The caller's join-strategy tuning
+    * is carried over so planner A/Bs see the layout keys. */
+  private def sortedScanSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    ss
+  }
 
   /** Registry key measuring what the bucketed layout BUYS: textbook
     * TPC-H Q21 (the suite's worst measured sf10 spark/duck ratio — its
@@ -107,11 +155,11 @@ object Sinks {
     * self-anti, and the orders join directly, supplier and nation are
     * broadcast, and the only shuffle left in the whole query is the
     * final ≤|supplier|-row count-by-s_name (the spec pins exactly one
-    * `Exchange hashpartitioning`). The layout is written once per
-    * corpus (see [[q21Layouts]]) and projects only the four columns the
-    * query family needs — at 100 TB this is "store the fact table
-    * bucketed on its join key", the difference between re-shuffling
-    * lineitem on every query and never shuffling it at all. Companion
+    * `Exchange hashpartitioning`). The layout is the shared
+    * [[orderkeyLayout]], written once per corpus and reused by every
+    * key it serves — at 100 TB this is "store the fact table bucketed
+    * on its join key", the difference between re-shuffling lineitem on
+    * every query and never shuffling it at all. Companion
     * of `op_bucketed_join`, which prices the layout write itself (its
     * every run pays the bucketize); this key prices the queries the
     * paid-for layout serves. The oracle is BYTE-IDENTICAL to
@@ -122,38 +170,11 @@ object Sinks {
     (s, dir) => {
       import org.apache.spark.sql.functions._
       val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
-      val sc = s.sparkContext
-      val (liTable, orTable) = q21Layouts.computeIfAbsent(
-        s"${sc.applicationId}@${sc.startTime}:$root", _ => {
-          val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
-            s"_${q21Layouts.size}"
-          // bucket count bounds the exchange-free scan's parallelism
-          // (one task per bucket): 32 = this box's core count; a
-          // cluster deployment sizes it to executor-cores × executors
-          val wh = java.nio.file.Files.createTempDirectory("graft_q21_layout").toString
-          writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
-              .select(col("l_orderkey"), col("l_suppkey"),
-                col("l_receiptdate"), col("l_commitdate")),
-            s"graft_q21b_li$suffix", s"$wh/li", "l_orderkey", 32)
-          writeBucketed(s.read.parquet(s"$root/orders.parquet")
-              .select(col("o_orderkey"), col("o_orderstatus")),
-            s"graft_q21b_or$suffix", s"$wh/or", "o_orderkey", 32)
-          (s"graft_q21b_li$suffix", s"graft_q21b_or$suffix")
-        })
-      // Run in a sub-session (shares the catalog, so it sees the layout
-      // tables; own conf, so nothing leaks into the caller's session):
-      // bucket-sorted scans only report their sort order under
-      // spark.sql.legacy.bucketedTableScan.outputOrdering — off by
-      // default since Spark 3.0 because it forces one-file-per-bucket
-      // read granularity, which is exactly what writeBucketed's
-      // repartition guarantees — and without it every merge join
-      // re-sorts the already-sorted bucket files. The caller's join-
-      // strategy tuning is carried over so planner A/Bs see this key.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      ss.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
       val li = ss.table(liTable)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_receiptdate"), col("l_commitdate"))
       val late = li.where(col("l_receiptdate") > col("l_commitdate"))
       // EXISTS: another supplier's line on the same order
       val multiSupplier = late.as("l1").join(li.as("l2"),
@@ -178,6 +199,64 @@ object Sinks {
         .limit(100)
     },
     graft.tpch.FullTpch.q21Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Second consumer of the shared [[orderkeyLayout]]: textbook TPC-H
+    * Q18 (large-volume customers), whose every fact-side operation is
+    * keyed on the orderkey — the `HAVING sum(l_quantity) > 300`
+    * aggregation, the IN semi-join, the orders⋈lineitem join, and the
+    * per-order rollup. Over the layout ALL of them consume the bucket
+    * partitioning, and the one non-orderkey step (the customer lookup)
+    * joins customer against a BROADCAST of the ≤few-hundred-row
+    * qualifying-orders frame, so the executed plan has ZERO
+    * `Exchange hashpartitioning` — against raw parquet the same query
+    * hash-partitions lineitem twice, orders once, and both sides of
+    * the customer join. Two row-preserving rewrites, both documented
+    * because the oracle replays the spec text: (a) `sum_qty` is
+    * aggregated per order BEFORE the customer join — o_orderkey is
+    * unique in orders and the semi-join/1:N join keep one group per
+    * order, and c_name/c_custkey are functionally determined by
+    * o_custkey, so the spec's post-join GROUP BY collapses nothing the
+    * pre-join rollup didn't; (b) the broadcast side is the rolled-up
+    * order frame, bounded by the HAVING filter (at sf1 TPC-H qualifies
+    * ~60 orders; even 100 TB keeps it driver-safe because Σqty > 300
+    * caps the qualifying fraction, and a regime where it didn't would
+    * simply shuffle). Oracle BYTE-IDENTICAL to
+    * `q18_full_large_orders`' spec text over the raw tables. */
+  val q18Bucketed: graft.GQuery = graft.GQuery(
+    "q18_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable).select(col("l_orderkey"), col("l_quantity"))
+      // HAVING sum(l_quantity) > 300 — exchange-free: grouping key IS
+      // the bucket key
+      val bigOrderKeys = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+        .where(col("qty_sum") > 300).select(col("l_orderkey"))
+      val ord = ss.table(orTable).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      // IN (subquery) ⇒ left-semi; both sides bucket-partitioned on the
+      // orderkey ⇒ no exchange
+      val bigOrders = ord.join(bigOrderKeys,
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      // per-order rollup before the customer join (rewrite (a) above);
+      // partitioning on o_orderkey satisfies the wider grouping set
+      val perOrder = li.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+      val cust = ss.read.parquet(s"$root/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      cust.join(broadcast(perOrder), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+    graft.tpch.FullTpch.q18Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** CSV with header. An explicit schema on read avoids the

@@ -108,4 +108,28 @@ class SinksSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("q18_full_bucketed: every fact-side step rides the bucket partitioning, zero hash exchanges") {
+    // same rationale as the q21 test: disable auto-broadcast so the tiny
+    // sf0.001 facts plan the way 100 TB facts would (the explicit
+    // broadcast() of the qualifying-orders rollup still applies)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Registry.byName("q18_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the HAVING agg, semi-join, fact join, and per-order rollup all
+      // consume the bucket partitioning; the customer join broadcasts
+      // the qualifying-orders side — nothing hash-partitions at all
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 0, s"expected a hash-exchange-free plan, got $shuffles:\n${plan.take(4000)}")
+      // pre-join rollup + broadcast must not change a single row vs the
+      // spec-text SQL plan over the raw tables
+      val expected = Registry.byName("q18_full_large_orders").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
