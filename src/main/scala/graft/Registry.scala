@@ -30,7 +30,8 @@ object Registry {
       tpch.TpchGen.all ++
       sources.AuxGen.all ++
       Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed,
-        sources.Sinks.q18Bucketed) ++
+        sources.Sinks.q18Bucketed, sources.Sinks.q14Bucketed,
+        sources.Sinks.compactSmallFiles) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

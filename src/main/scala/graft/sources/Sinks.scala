@@ -109,7 +109,7 @@ object Sinks {
     import org.apache.spark.sql.functions.col
     val sc = s.sparkContext
     factLayouts.computeIfAbsent(
-      s"${sc.applicationId}@${sc.startTime}:$root", _ => {
+      s"${sc.applicationId}@${sc.startTime}:$root#orderkey", _ => {
         val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
           s"_${factLayouts.size}"
         // bucket count bounds the exchange-free scan's parallelism
@@ -125,6 +125,31 @@ object Sinks {
               col("o_totalprice"), col("o_orderdate")),
           s"graft_bktfact_or$suffix", s"$wh/or", "o_orderkey", 32)
         (s"graft_bktfact_li$suffix", s"graft_bktfact_or$suffix")
+      })
+  }
+
+  /** The PARTKEY sibling of [[orderkeyLayout]]: lineitem + part
+    * bucket-sorted on the part key, serving the lineitem⋈part query
+    * family (`q14_full_bucketed`). Separate layout, same contract —
+    * a real deployment keeps one clustered copy of the fact table per
+    * high-traffic join key and routes each query to the copy whose
+    * bucketing its joins consume. */
+  private def partkeyLayout(s: SparkSession, root: String): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val sc = s.sparkContext
+    factLayouts.computeIfAbsent(
+      s"${sc.applicationId}@${sc.startTime}:$root#partkey", _ => {
+        val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
+          s"_${factLayouts.size}"
+        val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
+        writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
+            .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+              col("l_shipdate")),
+          s"graft_bktfact_lp$suffix", s"$wh/lp", "l_partkey", 32)
+        writeBucketed(s.read.parquet(s"$root/part.parquet")
+            .select(col("p_partkey"), col("p_type")),
+          s"graft_bktfact_pt$suffix", s"$wh/pt", "p_partkey", 32)
+        (s"graft_bktfact_lp$suffix", s"graft_bktfact_pt$suffix")
       })
   }
 
@@ -258,6 +283,90 @@ object Sinks {
     },
     graft.tpch.FullTpch.q18Full.oracle,
     tags = Set("sinks", "tpch_full"))
+
+  /** First consumer of the [[partkeyLayout]]: textbook TPC-H Q14
+    * (promo revenue share), the q_full key whose sf10 cost is the
+    * lineitem⋈part sort-merge machinery — part is too wide to
+    * broadcast at scale, so the raw plan hash-partitions AND sorts
+    * both sides (the sf10 join-strategy A/B in dev/BENCH_NOTES.md
+    * measured the sort as 3/4 of its runtime). Over the partkey
+    * layout the merge join streams the two bucket-sorted scans
+    * directly — ZERO `Exchange hashpartitioning` and ZERO Sort; the
+    * only exchange left is the single-row global aggregate's
+    * `Exchange SinglePartition` (the spec pins all three properties).
+    * Same cents-discretized revenue arithmetic as
+    * `q14_full_promo_revenue`, whose spec-text oracle this key reuses
+    * BYTE-IDENTICALLY: relayout must not move the ratio by one
+    * millionth. */
+  val q14Bucketed: graft.GQuery = graft.GQuery(
+    "q14_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, ptTable) = partkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable)
+        .where(col("l_shipdate") >= lit("1995-09-01").cast("date") &&
+          col("l_shipdate") < lit("1995-10-01").cast("date"))
+      val pt = ss.table(ptTable)
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").like("PROMO%"), cents).otherwise(0L)).cast("double") /
+          sum(cents).cast("double"), 6).as("promo_revenue"))
+    },
+    graft.tpch.FullTpch.q14Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Compact a parquet directory's files to ~`targetBytes` outputs and
+    * return the output path. THE at-scale table-maintenance operator:
+    * streaming ingest and fine-grained partitioning leave a 100 TB
+    * table as millions of KB-scale files, and every later scan then
+    * pays per-file open/footer/schedule cost that dwarfs the IO —
+    * compaction rewrites the data into size-targeted files in one
+    * round-robin shuffle. Sizing comes from the Hadoop FS listing (not
+    * `java.io` — the same code runs against HDFS/S3), output count =
+    * ⌈bytes / targetBytes⌉, and round-robin repartitioning (no key)
+    * gives evenly-sized files with zero skew by construction. Content
+    * is preserved row-for-row — the registry key's oracle hash-checks
+    * exactly that. */
+  def compactParquet(spark: SparkSession, path: String, targetBytes: Long,
+      out: Option[String] = None): String = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val outPath = out.getOrElse(path.stripSuffix("/") + "_compacted")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    outPath
+  }
+
+  /** Registry key driving [[compactParquet]] end-to-end: fragments the
+    * `documents` table into 64 shard files (the shape a per-batch
+    * streaming sink leaves behind), compacts them to size-targeted
+    * files, and returns the compacted content — the oracle replays
+    * (doc_id, md5(text), source) over the raw table, so the driver
+    * hash-check proves compaction moved every row and corrupted none.
+    * The file-count collapse itself is pinned by SinksSpec (64 → the
+    * computed target count). */
+  val compactSmallFiles: graft.GQuery = graft.GQuery(
+    "op_compact_small_files",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/docs"
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      val outPath = compactParquet(s, frag, targetBytes = 8L << 20)
+      s.read.parquet(outPath)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
+    },
+    Some("SELECT doc_id, md5(text) AS text_md5, source FROM documents"),
+    tags = Set("sinks"))
 
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it

@@ -132,4 +132,52 @@ class SinksSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("q14_full_bucketed: partkey layout streams the merge join sort-free, zero hash exchanges") {
+    // part is broadcastable at sf0.001 but not at 100 TB; disable
+    // auto-broadcast to plan the scale shape the partkey layout serves
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Registry.byName("q14_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 0, s"expected no hash exchange over the partkey layout, got $shuffles:\n${plan.take(4000)}")
+      // bucket-sorted scans feed the merge join directly — no re-sort;
+      // the single-row global agg's SinglePartition exchange is the
+      // only data movement in the whole query
+      val sorts = "\\bSort \\[".r.findAllMatchIn(plan).size
+      assert(sorts == 0, s"expected sort-free merge join over bucket order, got $sorts:\n${plan.take(4000)}")
+      val expected = Registry.byName("q14_full_promo_revenue").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val frag = tmp("frag")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    // round-robin spreads one row per partition; empty partitions may
+    // skip their file, so the floor is min(64, rows)
+    val fragCount = parquetFiles(frag).length
+    assert(fragCount >= math.min(64L, src.count()).toInt / 2, fragCount.toString)
+    assert(fragCount > 8, fragCount.toString)
+    val out = Sinks.compactParquet(spark, frag, targetBytes = 8L << 20)
+    // sf0.001 documents total well under 8 MB -> exactly one output file
+    assert(parquetFiles(out).length == 1, parquetFiles(out).length.toString)
+    // every row moved, none corrupted
+    val back = spark.read.parquet(out)
+    assert(back.orderBy(col("doc_id")).collect().toSeq ==
+      src.orderBy(col("doc_id")).collect().toSeq)
+    // a sub-target targetBytes splits the output: ceil-sizing is live
+    val totalBytes = parquetFiles(frag).map(_.length).sum
+    val out2 = Sinks.compactParquet(spark, frag, targetBytes = totalBytes / 4 + 1,
+      out = Some(frag + "_4way"))
+    assert(parquetFiles(out2).length == 4, parquetFiles(out2).length.toString)
+  }
 }
