@@ -105,28 +105,39 @@ object Sinks {
     * per corpus (see [[factLayouts]]); every key that reads it shares
     * the one write. Returns the registered (lineitem, orders) catalog
     * table names. */
-  private def orderkeyLayout(s: SparkSession, root: String): (String, String) = {
+  /** Memoized writer behind the layout family: one bucketized table
+    * pair per (context incarnation, corpus root, layout tag), each
+    * source file projected to its column list and bucket-sorted on its
+    * key. Bucket count bounds the exchange-free scan's parallelism
+    * (one task per bucket): 32 = this box's core count; a cluster
+    * deployment sizes it to executor-cores × executors. */
+  private def factLayout(s: SparkSession, root: String, tag: String,
+      tables: ((String, Seq[String], String), (String, Seq[String], String))): (String, String) = {
     import org.apache.spark.sql.functions.col
     val sc = s.sparkContext
     factLayouts.computeIfAbsent(
-      s"${sc.applicationId}@${sc.startTime}:$root#orderkey", _ => {
+      s"${sc.applicationId}@${sc.startTime}:$root#$tag", _ => {
         val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
           s"_${factLayouts.size}"
-        // bucket count bounds the exchange-free scan's parallelism
-        // (one task per bucket): 32 = this box's core count; a
-        // cluster deployment sizes it to executor-cores × executors
         val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
-        writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
-            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
-              col("l_receiptdate"), col("l_commitdate")),
-          s"graft_bktfact_li$suffix", s"$wh/li", "l_orderkey", 32)
-        writeBucketed(s.read.parquet(s"$root/orders.parquet")
-            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-              col("o_totalprice"), col("o_orderdate")),
-          s"graft_bktfact_or$suffix", s"$wh/or", "o_orderkey", 32)
-        (s"graft_bktfact_li$suffix", s"graft_bktfact_or$suffix")
+        def write(spec: (String, Seq[String], String)): String = {
+          val (file, cols, bucketCol) = spec
+          val table = s"graft_bktfact_${tag}_${file.take(2)}$suffix"
+          writeBucketed(s.read.parquet(s"$root/$file.parquet")
+              .select(cols.map(col): _*),
+            table, s"$wh/$file", bucketCol, 32)
+          table
+        }
+        (write(tables._1), write(tables._2))
       })
   }
+
+  private def orderkeyLayout(s: SparkSession, root: String): (String, String) =
+    factLayout(s, root, "ok", (
+      ("lineitem", Seq("l_orderkey", "l_suppkey", "l_quantity",
+        "l_receiptdate", "l_commitdate"), "l_orderkey"),
+      ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate"), "o_orderkey")))
 
   /** The PARTKEY sibling of [[orderkeyLayout]]: lineitem + part
     * bucket-sorted on the part key, serving the lineitem⋈part query
@@ -134,24 +145,11 @@ object Sinks {
     * a real deployment keeps one clustered copy of the fact table per
     * high-traffic join key and routes each query to the copy whose
     * bucketing its joins consume. */
-  private def partkeyLayout(s: SparkSession, root: String): (String, String) = {
-    import org.apache.spark.sql.functions.col
-    val sc = s.sparkContext
-    factLayouts.computeIfAbsent(
-      s"${sc.applicationId}@${sc.startTime}:$root#partkey", _ => {
-        val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
-          s"_${factLayouts.size}"
-        val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
-        writeBucketed(s.read.parquet(s"$root/lineitem.parquet")
-            .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
-              col("l_shipdate")),
-          s"graft_bktfact_lp$suffix", s"$wh/lp", "l_partkey", 32)
-        writeBucketed(s.read.parquet(s"$root/part.parquet")
-            .select(col("p_partkey"), col("p_type")),
-          s"graft_bktfact_pt$suffix", s"$wh/pt", "p_partkey", 32)
-        (s"graft_bktfact_lp$suffix", s"graft_bktfact_pt$suffix")
-      })
-  }
+  private def partkeyLayout(s: SparkSession, root: String): (String, String) =
+    factLayout(s, root, "pk", (
+      ("lineitem", Seq("l_partkey", "l_extendedprice", "l_discount",
+        "l_shipdate"), "l_partkey"),
+      ("part", Seq("p_partkey", "p_type"), "p_partkey")))
 
   /** Sub-session for reading the bucketed layout (shares the catalog,
     * so it sees the layout tables; own conf, so nothing leaks into the
@@ -243,10 +241,13 @@ object Sinks {
     * order, and c_name/c_custkey are functionally determined by
     * o_custkey, so the spec's post-join GROUP BY collapses nothing the
     * pre-join rollup didn't; (b) the broadcast side is the rolled-up
-    * order frame, bounded by the HAVING filter (at sf1 TPC-H qualifies
-    * ~60 orders; even 100 TB keeps it driver-safe because Σqty > 300
-    * caps the qualifying fraction, and a regime where it didn't would
-    * simply shuffle). Oracle BYTE-IDENTICAL to
+    * order frame, bounded by the HAVING filter to a fixed small
+    * FRACTION of orders (~60 at sf1) — the explicit hint pins the
+    * build side unconditionally, which is right for any scale this
+    * suite runs; a deployment where the qualifying set itself outgrew
+    * broadcast (sf ≳ 10⁴) would drop the hint and let the planner
+    * shuffle the tiny side against customer instead. Oracle
+    * BYTE-IDENTICAL to
     * `q18_full_large_orders`' spec text over the raw tables. */
   val q18Bucketed: graft.GQuery = graft.GQuery(
     "q18_full_bucketed",
@@ -333,17 +334,35 @@ object Sinks {
     * exactly that. */
   def compactParquet(spark: SparkSession, path: String, targetBytes: Long,
       out: Option[String] = None): String = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive listing: fine-grained directory partitioning is the
+    // main producer of the small-file problem, so the data files
+    // usually live in partition subdirectories, not at the root
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) bytes += st.getLen
+    }
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val outPath = out.getOrElse(path.stripSuffix("/") + "_compacted")
+    // NOTE: directory-partition columns are read back as data columns
+    // and the output is unpartitioned — compacting a partitioned table
+    // while KEEPING its layout means calling this once per partition
+    // directory (each call is one bounded round-robin shuffle).
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
     outPath
   }
+
+  /** One scratch directory per (context incarnation, corpus dir) for
+    * [[compactSmallFiles]]: every build still pays BOTH full write
+    * passes (mode=overwrite, nothing is cached) — reusing the path
+    * only stops repeated bench runs from accumulating copies in /tmp. */
+  private val compactScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Registry key driving [[compactParquet]] end-to-end: fragments the
     * `documents` table into 64 shard files (the shape a per-batch
@@ -359,7 +378,11 @@ object Sinks {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("source"))
-      val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/docs"
+      val sc = s.sparkContext
+      val scratch = compactScratch.computeIfAbsent(
+        s"${sc.applicationId}@${sc.startTime}:$dir",
+        _ => java.nio.file.Files.createTempDirectory("graft_frag").toString)
+      val frag = s"$scratch/docs"
       docs.repartition(64).write.mode("overwrite").parquet(frag)
       val outPath = compactParquet(s, frag, targetBytes = 8L << 20)
       s.read.parquet(outPath)

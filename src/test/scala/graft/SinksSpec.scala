@@ -10,6 +10,19 @@ class SinksSpec extends SparkSpecBase {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft_$name").toString + "/out"
 
+  /** At sf0.001 the planner broadcasts every small side and hides the
+    * exchanges the bucketed layouts exist to erase; tests that pin the
+    * 100 TB plan shape run with auto-broadcast off (explicit
+    * broadcast() hints still apply). Restores the caller's threshold
+    * even on failure — a leaked -1 would silently change every later
+    * suite's plans in the shared session. */
+  private def withAutoBroadcastDisabled[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned parquet write creates partition dirs and round-trips") {
     val dir = tmp("parquet")
     val src = Tables.nation(spark, sfDir)
@@ -30,19 +43,13 @@ class SinksSpec extends SparkSpecBase {
     Sinks.writeBucketed(o, "b_orders", tmp("b_orders"), "o_orderkey", 4)
     Sinks.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
       "b_lineitem", tmp("b_lineitem"), "o_orderkey", 4)
-    // at sf0.001 the planner would just broadcast the small side and
-    // skip bucketing; disable auto-broadcast to exercise the plan the
-    // buckets exist for (at 100 TB neither fact side is broadcastable)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try withAutoBroadcastDisabled {
       val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(2000)}")
       assert(plan.contains("Bucketed: true"), s"scan is not bucket-aware:\n${plan.take(2000)}")
       assert(joined.count() == l.count()) // every lineitem has its order
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
@@ -83,13 +90,7 @@ class SinksSpec extends SparkSpecBase {
   }
 
   test("q21_full_bucketed: the layout erases every fact exchange and changes no row") {
-    // at sf0.001 the planner would broadcast the tiny lineitem side and
-    // hide the exchanges the layout exists to erase; disable
-    // auto-broadcast (the explicit supplier/nation broadcast() hints
-    // still apply) to see the 100 TB plan shape
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastDisabled {
       val df = Registry.byName("q21_full_bucketed").build(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
@@ -104,18 +105,11 @@ class SinksSpec extends SparkSpecBase {
       // relayout must not change a single row vs the spec-text SQL plan
       val expected = Registry.byName("q21_full_waiting_suppliers").build(spark, sfDir)
       assert(df.collect().toSeq == expected.collect().toSeq)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 
   test("q18_full_bucketed: every fact-side step rides the bucket partitioning, zero hash exchanges") {
-    // same rationale as the q21 test: disable auto-broadcast so the tiny
-    // sf0.001 facts plan the way 100 TB facts would (the explicit
-    // broadcast() of the qualifying-orders rollup still applies)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastDisabled {
       val df = Registry.byName("q18_full_bucketed").build(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
@@ -128,17 +122,11 @@ class SinksSpec extends SparkSpecBase {
       // spec-text SQL plan over the raw tables
       val expected = Registry.byName("q18_full_large_orders").build(spark, sfDir)
       assert(df.collect().toSeq == expected.collect().toSeq)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 
   test("q14_full_bucketed: partkey layout streams the merge join sort-free, zero hash exchanges") {
-    // part is broadcastable at sf0.001 but not at 100 TB; disable
-    // auto-broadcast to plan the scale shape the partkey layout serves
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastDisabled {
       val df = Registry.byName("q14_full_bucketed").build(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
@@ -151,8 +139,6 @@ class SinksSpec extends SparkSpecBase {
       assert(sorts == 0, s"expected sort-free merge join over bucket order, got $sorts:\n${plan.take(4000)}")
       val expected = Registry.byName("q14_full_promo_revenue").build(spark, sfDir)
       assert(df.collect().toSeq == expected.collect().toSeq)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 
@@ -179,5 +165,23 @@ class SinksSpec extends SparkSpecBase {
     val out2 = Sinks.compactParquet(spark, frag, targetBytes = totalBytes / 4 + 1,
       out = Some(frag + "_4way"))
     assert(parquetFiles(out2).length == 4, parquetFiles(out2).length.toString)
+    // directory-partitioned input: sizing must recurse into the
+    // partition subdirectories (a flat listing would see 0 bytes and
+    // silently single-file a huge table)
+    val part = tmp("frag_part")
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+      .write.partitionBy("lang").mode("overwrite").parquet(part)
+    val partBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(part))
+    }
+    assert(partBytes > 0)
+    val out3 = Sinks.compactParquet(spark, part, targetBytes = partBytes / 2 + 1,
+      out = Some(part + "_c"))
+    assert(parquetFiles(out3).length == 2, parquetFiles(out3).length.toString)
+    assert(spark.read.parquet(out3).count() == src.count())
+    intercept[IllegalArgumentException](Sinks.compactParquet(spark, frag, 0))
   }
 }
