@@ -357,6 +357,58 @@ object Sinks {
     outPath
   }
 
+  /** Partition-PRESERVING compaction: rewrite a directory-partitioned
+    * parquet table so each `partitionCol=value` directory holds
+    * ⌈its bytes / targetBytes⌉ files, keeping the partition layout
+    * (unlike [[compactParquet]], which flattens it). One Spark job for
+    * the whole table: per-partition sizes come from the FS listing, a
+    * broadcast value→splits map salts each row into its target file
+    * slot, and a single `repartition(partitionCol, salt)` +
+    * `partitionBy` write lands every partition's rows in co-located
+    * tasks — skew-aware by construction, because a 10 TB partition
+    * gets 10 TB/target salts while a 1 MB partition gets one, so no
+    * task ever owns more than ~targetBytes of one partition. Salt
+    * collisions can merge two slots of the same value in one task, so
+    * per-partition file counts are ≤ the computed split count (exact
+    * when the count is 1 — the common compaction case). */
+  def compactParquetPartitioned(spark: SparkSession, path: String,
+      partitionCol: String, targetBytes: Long, out: Option[String] = None): String = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splits: Map[String, Int] = fs.listStatus(hPath).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+      .map { st =>
+        var bytes = 0L
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+        }
+        st.getPath.getName.substring(partitionCol.length + 1) ->
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      }.toMap
+    require(splits.nonEmpty, s"$path has no $partitionCol=<value> partition directories")
+    val outPath = out.getOrElse(path.stripSuffix("/") + "_compacted")
+    val nSlots = greatest(coalesce(
+      element_at(typedLit(splits), col(partitionCol).cast("string")), lit(1)), lit(1))
+    // explicit partition count: an unpinned repartition lets AQE
+    // re-coalesce the salted slots toward its 64 MB advisory size,
+    // silently merging them whenever targetBytes is smaller — the salt
+    // map IS the partition sizing here, so the exchange is pinned to
+    // ~one task per output file (×4 headroom against (value, slot)
+    // hash collisions, which would merge two slots into one oversized
+    // file)
+    val totalSlots = math.max(1, splits.values.map(_.toLong).sum.min(64 << 10).toInt) * 4
+    spark.read.parquet(path)
+      .withColumn("__slot", pmod(hash(monotonically_increasing_id()), nSlots))
+      .repartition(totalSlots, col(partitionCol), col("__slot"))
+      .drop("__slot")
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(outPath)
+    outPath
+  }
+
   /** One scratch directory per (context incarnation, corpus dir) for
     * [[compactSmallFiles]]: every build still pays BOTH full write
     * passes (mode=overwrite, nothing is cached) — reusing the path
@@ -389,6 +441,33 @@ object Sinks {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
     },
     Some("SELECT doc_id, md5(text) AS text_md5, source FROM documents"),
+    tags = Set("sinks"))
+
+  /** Registry key driving [[compactParquetPartitioned]] end-to-end:
+    * fragments `documents` into a lang-partitioned table with ~16
+    * files per partition (each write task leaves one file in every
+    * partition it touches — the exact mess a parallel writer makes),
+    * compacts partition-preserving, and returns the compacted content;
+    * the oracle replays (doc_id, md5(text), lang) over the raw table.
+    * SinksSpec pins the layout survival and the per-partition
+    * file-count collapse. */
+  val compactPartitioned: graft.GQuery = graft.GQuery(
+    "op_compact_partitioned",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val sc = s.sparkContext
+      val scratch = compactScratch.computeIfAbsent(
+        s"${sc.applicationId}@${sc.startTime}:$dir#part",
+        _ => java.nio.file.Files.createTempDirectory("graft_fragp").toString)
+      val frag = s"$scratch/docs_by_lang"
+      docs.repartition(16).write.partitionBy("lang").mode("overwrite").parquet(frag)
+      val outPath = compactParquetPartitioned(s, frag, "lang", targetBytes = 8L << 20)
+      s.read.parquet(outPath)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+    },
+    Some("SELECT doc_id, md5(text) AS text_md5, lang FROM documents"),
     tags = Set("sinks"))
 
   /** CSV with header. An explicit schema on read avoids the

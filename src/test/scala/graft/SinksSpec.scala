@@ -184,4 +184,36 @@ class SinksSpec extends SparkSpecBase {
     assert(spark.read.parquet(out3).count() == src.count())
     intercept[IllegalArgumentException](Sinks.compactParquet(spark, frag, 0))
   }
+
+  test("compactParquetPartitioned keeps the partition layout while collapsing per-partition files") {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang"))
+    val frag = tmp("fragp")
+    src.repartition(8).write.partitionBy("lang").mode("overwrite").parquet(frag)
+    def langDirs(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).sortBy(_.getName)
+    def files(d: java.io.File) = d.listFiles().filter(_.getName.endsWith(".parquet"))
+    val fragDirs = langDirs(frag)
+    assert(fragDirs.nonEmpty)
+    // parallel-writer mess: each task leaves a file in every partition
+    // it touches, so partitions carry several fragments
+    assert(fragDirs.map(files(_).length).max > 2, fragDirs.map(files(_).length).mkString(","))
+    val out = Sinks.compactParquetPartitioned(spark, frag, "lang", targetBytes = 8L << 20)
+    val outDirs = langDirs(out)
+    // layout preserved: same partition values...
+    assert(outDirs.map(_.getName).toSeq == fragDirs.map(_.getName).toSeq)
+    // ...and one ~target-sized file each (every lang is far below 8 MB)
+    outDirs.foreach(d => assert(files(d).length == 1, s"${d.getName}: ${files(d).length}"))
+    // every row moved, none corrupted, partition column intact
+    assert(spark.read.parquet(out).orderBy(col("doc_id")).collect().toSeq ==
+      src.orderBy(col("doc_id")).collect().toSeq)
+    // a sub-partition target splits the big partitions: the per-value
+    // split map is live (salt collisions may merge two slots in one
+    // task, so the count is bounded, not exact)
+    val bigLang = fragDirs.maxBy(files(_).map(_.length).sum)
+    val bigBytes = files(bigLang).map(_.length).sum
+    val out2 = Sinks.compactParquetPartitioned(spark, frag, "lang",
+      targetBytes = bigBytes / 3 + 1, out = Some(frag + "_split"))
+    val splitCount = files(langDirs(out2).find(_.getName == bigLang.getName).get).length
+    assert(splitCount >= 2 && splitCount <= 3, splitCount.toString)
+  }
 }
