@@ -189,10 +189,26 @@ object Bench {
       .map(_.group(1)).filter(_.toDoubleOption.isDefined)
       .getOrElse("-1")
 
-    val lines = BenchFormat.lines(results, sfNum, n, warm3, (loadStart, loadEnd), stealPct, duck, floorMed)
+    // ENFORCED health gate (r14 verdict #6): the sentinels were
+    // recorded since r7 but never adjudicated in the artifact itself,
+    // so a storm line could silently become the line of record. A line
+    // is `accepted` only when the warm-sentinel median sits at the
+    // sf-scaled idle ceiling AND hypervisor steal stayed ≤1%; anything
+    // else is `rejected` — a valid UPPER BOUND, never canonical
+    // (unknown steal, -1, doesn't reject: absence of the counter is
+    // not evidence of a storm).
+    val health =
+      if (warmup <= warmIdleMax && stealPct <= 1.0) "accepted" else "rejected"
+    if (health == "rejected")
+      System.err.println(f"[bench] HEALTH REJECTED (warm $warmup%.2f vs ceiling $warmIdleMax%.2f, steal $stealPct%.2f%%) — this line is an upper bound, not canonical")
+    val notComparable = Registry.all
+      .filter(_.tags.contains("duckNotComparable")).map(_.name).toSet
+
+    val lines = BenchFormat.lines(results, sfNum, n, warm3, (loadStart, loadEnd),
+      stealPct, duck, floorMed, notComparable, health)
 
     // everything, unabridged, for post-hoc forensics
-    writeLastDump(results, sfNum, n, warm3, loadStart, loadEnd, stealPct, duck)
+    writeLastDump(results, sfNum, n, warm3, loadStart, loadEnd, stealPct, duck, health)
 
     // stdout first (driver contract line), then the compact parse
     // target LAST on stderr — the tail window keeps the end of the
@@ -319,7 +335,7 @@ object Bench {
       results: Seq[(String, Either[String, Seq[Double]])],
       sfNum: String, n: Int, warm3: Seq[Double],
       loadStart: Double, loadEnd: Double, stealPct: Double,
-      duck: Seq[(String, Double)]): Unit =
+      duck: Seq[(String, Double)], health: String): Unit =
     try {
       val per = results.map {
         case (k, Right(ts)) =>
@@ -334,6 +350,7 @@ object Bench {
            |  "warm3": ${warm3.map(BenchFormat.f2).mkString("[", ", ", "]")},
            |  "load": [${BenchFormat.f2(loadStart)}, ${BenchFormat.f2(loadEnd)}],
            |  "steal_pct": ${BenchFormat.f2(stealPct)},
+           |  "health": "$health",
            |  "duckdb_sec": {${duck.map { case (k, d) => s""""$k": ${BenchFormat.f3(d)}""" }.mkString(", ")}},
            |  "wall_utc_ms": ${System.currentTimeMillis()},
            |  "keys": {

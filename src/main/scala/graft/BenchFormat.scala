@@ -76,7 +76,21 @@ object BenchFormat {
     *                 (empty = baseline unavailable). Full line carries
     *                 the per-query spark/duckdb ratio map; the compact
     *                 parse target carries {n, geomean, worst} so its
-    *                 size stays key-count-independent. */
+    *                 size stays key-count-independent.
+    * @param notComparable keys whose oracle does strictly less work by
+    *                 construction (layout/compaction writes the oracle
+    *                 never pays, TRUE-literal tolerance checks) — their
+    *                 ratios stay in the full line's per-key map for
+    *                 transparency but are EXCLUDED from the headline
+    *                 `geo`/`adj`/`worst`; the compact line reports them
+    *                 separately as `raw_n`/`raw_geo` (r14 verdict #3:
+    *                 the published geomean was polluted by
+    *                 apples-to-oranges keys its own footnotes disclaim)
+    * @param health   "accepted" | "rejected" — the Bench-enforced box
+    *                 gate (warm sentinel ≤ the sf-scaled idle ceiling
+    *                 AND steal ≤ 1%); a rejected line is an upper
+    *                 bound, never the artifact of record. Empty = omit
+    *                 (spec fixtures). */
   def lines(
       results: Seq[(String, Either[String, Seq[Double]])],
       sfNum: String,
@@ -85,7 +99,9 @@ object BenchFormat {
       loads: (Double, Double),
       stealPct: Double,
       duck: Seq[(String, Double)] = Nil,
-      floorSec: Double = -1): Lines = {
+      floorSec: Double = -1,
+      notComparable: Set[String] = Set.empty,
+      health: String = ""): Lines = {
     val ok = results.collect { case (k, Right(ts)) => (k, ts) }
     val failed = results.collect { case (k, Left(_)) => k }
     val total = ok.map(_._2.head).sum
@@ -129,8 +145,16 @@ object BenchFormat {
     val duckJson =
       if (ratios.isEmpty) ""
       else {
-        val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-        val (wk, wr) = ratios.maxBy(_._2)
+        // headline geo/adj/worst run over COMPARABLE keys only; the
+        // excluded keys' ratios still ride the full line's per-key map
+        // and the raw_n/raw_geo pair keeps the unfiltered number
+        // published for transparency
+        val comp = ratios.filterNot { case (k, _) => notComparable(k) }
+        val head = if (comp.nonEmpty) comp else ratios
+        def geoOf(rs: Seq[(String, Double)]): Double =
+          math.exp(rs.map(r => math.log(r._2)).sum / rs.size)
+        val geo = geoOf(head)
+        val (wk, wr) = head.maxBy(_._2)
         // overhead-adjusted ratio (r13 directive #2): subtract the
         // per-query platform floor (1-row noop write) from the Spark
         // min before dividing — at small sf the raw ratio mostly
@@ -142,18 +166,23 @@ object BenchFormat {
           if (floorSec <= 0) ""
           else {
             val adj = duck.collect {
-              case (k, d) if d > 0 && sparkMin.contains(k) =>
+              case (k, d) if d > 0 && sparkMin.contains(k) &&
+                (comp.isEmpty || !notComparable(k)) =>
                 math.max(sparkMin(k).head - floorSec, 0.005) / d
             }
             val g = math.exp(adj.map(math.log).sum / adj.size)
             s""","adj":${f2(g)}"""
           }
-        s""","duck":{"n":${ratios.size},"geo":${f2(geo)}$adjJson,"worst":["$wk",${f2(wr)}]}"""
+        val rawJson =
+          if (comp.size == ratios.size) ""
+          else s""","raw_n":${ratios.size},"raw_geo":${f2(geoOf(ratios))}"""
+        s""","duck":{"n":${head.size},"geo":${f2(geo)}$adjJson$rawJson,"worst":["$wk",${f2(wr)}]}"""
       }
+    val healthJson = if (health.isEmpty) "" else s""","health":"$health""""
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
         s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}],""" +
-        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$floorJson$duckJson,"slow":$slow""" +
+        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$healthJson$floorJson$duckJson,"slow":$slow""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""
          else s""","failed":$failedCapped}""")

@@ -31,7 +31,8 @@ object Registry {
       sources.AuxGen.all ++
       Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed,
         sources.Sinks.q18Bucketed, sources.Sinks.q14Bucketed,
-        sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned) ++
+        sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
+        sources.Sinks.partitionPrune) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

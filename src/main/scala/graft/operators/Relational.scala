@@ -519,7 +519,12 @@ object Relational {
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
              count(*) AS cnt, TRUE AS within_tol
       FROM events GROUP BY 1"""),
-    tags = Set("relational"))
+    // duckNotComparable: the Spark side computes BOTH the exact count
+    // and the HLL estimate (to emit the tolerance check); the oracle
+    // literally selects TRUE — a wall-clock ratio over this pair
+    // prices two different computations (r14 verdict: 247x noise in
+    // the headline geomean)
+    tags = Set("relational", "duckNotComparable"))
 
   /** The shard-sketch pattern [[approxDistinct]] only gestures at,
     * made explicit: per-(group, shard) Datasketches HLL sketches

@@ -56,8 +56,11 @@ object Sinks {
     * pay-the-shuffle-once layout pattern, driver-checked (before this
     * key the exchange-free property lived only in SinksSpec). The
     * build bucketizes lineitem and orders on the join key into 16
-    * co-bucketed catalog tables (fresh temp path per call — the
-    * write IS part of the operator and of its timed cost), then runs
+    * co-bucketed catalog tables (scratch path memoized per (context
+    * incarnation, corpus) like [[compactScratch]] so repeated bench
+    * runs don't accumulate copies in /tmp — every call still pays BOTH
+    * full overwrite writes; the write IS part of the operator and of
+    * its timed cost), then runs
     * the fact-fact join with a merge hint: co-bucketed scans feed the
     * sort-merge join with ZERO shuffle exchange (the spec pins the
     * plan), which at 100 TB is the difference between shuffling the
@@ -68,7 +71,10 @@ object Sinks {
     "op_bucketed_join",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      val sc = s.sparkContext
+      val wh = compactScratch.computeIfAbsent(
+        s"${sc.applicationId}@${sc.startTime}:$dir#bkt",
+        _ => java.nio.file.Files.createTempDirectory("graft_buckets").toString)
       writeBucketed(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
         "graft_bkt_lineitem", s"$wh/li", "l_orderkey", 16)
       writeBucketed(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
@@ -85,7 +91,11 @@ object Sinks {
              CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1"""),
-    tags = Set("sinks"))
+    // duckNotComparable: the Spark side rewrites BOTH fact tables into
+    // bucketed layouts before joining (the write is the operator); the
+    // oracle runs a plain join — a ratio over this pair prices layout
+    // construction against a query (r14 verdict)
+    tags = Set("sinks", "duckNotComparable"))
 
   /** One bucketized (lineitem, orders) layout per (context incarnation,
     * full-TPC-H corpus root): the layout is CORPUS state, written once
@@ -95,6 +105,7 @@ object Sinks {
     * unreachable). Values are the registered catalog table names. */
   private val factLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val layoutSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** The shared orderkey-bucketed fact layout: lineitem + orders
     * bucket-sorted on the orderkey, projected to the union of the
@@ -117,8 +128,13 @@ object Sinks {
     val sc = s.sparkContext
     factLayouts.computeIfAbsent(
       s"${sc.applicationId}@${sc.startTime}:$root#$tag", _ => {
+        // table-name suffix: a monotone counter claimed INSIDE the
+        // mapping function, never map size — two roots whose sanitized
+        // tails collide (sf0.1 vs sf0_1) and first-build concurrently
+        // would otherwise mint identical catalog names and silently
+        // repoint one layout at the other corpus's data
         val suffix = root.replaceAll("[^A-Za-z0-9]", "_").takeRight(24) +
-          s"_${factLayouts.size}"
+          s"_${layoutSeq.getAndIncrement()}"
         val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
         def write(spec: (String, Seq[String], String)): String = {
           val (file, cols, bucketCol) = spec
@@ -361,38 +377,82 @@ object Sinks {
     * parquet table so each `partitionCol=value` directory holds
     * ⌈its bytes / targetBytes⌉ files, keeping the partition layout
     * (unlike [[compactParquet]], which flattens it). One Spark job for
-    * the whole table: per-partition sizes come from the FS listing, a
-    * broadcast value→splits map salts each row into its target file
-    * slot, and a single `repartition(partitionCol, salt)` +
-    * `partitionBy` write lands every partition's rows in co-located
-    * tasks — skew-aware by construction, because a 10 TB partition
-    * gets 10 TB/target salts while a 1 MB partition gets one, so no
-    * task ever owns more than ~targetBytes of one partition. Salt
-    * collisions can merge two slots of the same value in one task, so
-    * per-partition file counts are ≤ the computed split count (exact
-    * when the count is 1 — the common compaction case). */
+    * the whole table: per-partition sizes come from ONE recursive FS
+    * listing (a per-directory listing loop is minutes of serial driver
+    * wall-clock on an object store with ~100k partitions; one
+    * recursive pass returns the same information), a broadcast
+    * value→splits map salts each row into its target file slot, and a
+    * single `repartition(partitionCol, salt)` + `partitionBy` write
+    * lands every partition's rows in co-located tasks — skew-aware by
+    * construction, because a 10 TB partition gets 10 TB/target salts
+    * while a 1 MB partition gets one, so no task ever owns more than
+    * ~targetBytes of one partition. Salt collisions can merge two
+    * slots of the same value in one task, so per-partition file counts
+    * are ≤ the computed split count (exact when the count is 1 — the
+    * common compaction case).
+    *
+    * Determinism contract: the salt is a hash of ROW CONTENT
+    * (`saltCols`, defaulting to every data column), never of task or
+    * row position — so two compactions of the same table land every
+    * row in the same file slot (file-level diff/retry audits stay
+    * quiet), and a stage recompute after a fetch failure re-routes
+    * each row to the same reducer (a positional salt such as
+    * `monotonically_increasing_id` can silently drop/duplicate rows in
+    * exactly that window). Callers with a known row key pass it as
+    * `saltCols` to skip hashing wide payload columns.
+    *
+    * Partition-name decoding: Spark ESCAPES partition values in
+    * directory names (URL-style for chars like `:` or space, and the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel for null) while
+    * `col(partitionCol)` reads back the unescaped value — the splits
+    * map is therefore keyed on the UNESCAPED value, and the null
+    * sentinel gets its own `isNull` routing arm (a missed decode would
+    * coalesce a huge partition to one slot and silently emit one
+    * oversized file, defeating the skew guarantee). */
   def compactParquetPartitioned(spark: SparkSession, path: String,
-      partitionCol: String, targetBytes: Long, out: Option[String] = None): String = {
+      partitionCol: String, targetBytes: Long, out: Option[String] = None,
+      saltCols: Seq[String] = Nil): String = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val splits: Map[String, Int] = fs.listStatus(hPath).iterator
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
-      .map { st =>
-        var bytes = 0L
-        val it = fs.listFiles(st.getPath, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
-        }
-        st.getPath.getName.substring(partitionCol.length + 1) ->
-          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val qRoot = fs.makeQualified(hPath)
+    // one recursive listing; each data file is attributed to the
+    // top-level partition directory it sits under
+    val bytesByDir = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(qRoot, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        var d = f.getPath.getParent
+        while (d != null && d.getParent != null && d.getParent != qRoot) d = d.getParent
+        if (d != null && d.getName.startsWith(s"$partitionCol="))
+          bytesByDir.updateWith(d.getName.substring(partitionCol.length + 1)) {
+            prev => Some(prev.getOrElse(0L) + f.getLen)
+          }
+      }
+    }
+    def toSplits(bytes: Long): Int =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nullSplits = bytesByDir.get(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      .map(toSplits)
+    val splits: Map[String, Int] = bytesByDir.iterator
+      .filter(_._1 != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      .map { case (escaped, bytes) =>
+        ExternalCatalogUtils.unescapePathName(escaped) -> toSplits(bytes)
       }.toMap
-    require(splits.nonEmpty, s"$path has no $partitionCol=<value> partition directories")
+    require(splits.nonEmpty || nullSplits.nonEmpty,
+      s"$path has no $partitionCol=<value> partition directories")
     val outPath = out.getOrElse(path.stripSuffix("/") + "_compacted")
-    val nSlots = greatest(coalesce(
-      element_at(typedLit(splits), col(partitionCol).cast("string")), lit(1)), lit(1))
+    val mapped =
+      if (splits.isEmpty) lit(null).cast("int")
+      else element_at(typedLit(splits), col(partitionCol).cast("string"))
+    val routed = nullSplits match {
+      case Some(n) => when(col(partitionCol).isNull, lit(n)).otherwise(mapped)
+      case None => mapped
+    }
+    val nSlots = greatest(coalesce(routed, lit(1)), lit(1))
     // explicit partition count: an unpinned repartition lets AQE
     // re-coalesce the salted slots toward its 64 MB advisory size,
     // silently merging them whenever targetBytes is smaller — the salt
@@ -400,19 +460,25 @@ object Sinks {
     // ~one task per output file (×4 headroom against (value, slot)
     // hash collisions, which would merge two slots into one oversized
     // file)
-    val totalSlots = math.max(1, splits.values.map(_.toLong).sum.min(64 << 10).toInt) * 4
-    spark.read.parquet(path)
-      .withColumn("__slot", pmod(hash(monotonically_increasing_id()), nSlots))
+    val allSplits = splits.values.map(_.toLong).sum + nullSplits.getOrElse(0)
+    val totalSlots = math.max(1, allSplits.min(64 << 10).toInt) * 4
+    val df = spark.read.parquet(path)
+    val saltInput =
+      (if (saltCols.nonEmpty) saltCols
+       else df.columns.toSeq.filterNot(_ == partitionCol)).map(col)
+    df.withColumn("__slot", pmod(hash(saltInput: _*), nSlots))
       .repartition(totalSlots, col(partitionCol), col("__slot"))
       .drop("__slot")
       .write.partitionBy(partitionCol).mode("overwrite").parquet(outPath)
     outPath
   }
 
-  /** One scratch directory per (context incarnation, corpus dir) for
-    * [[compactSmallFiles]]: every build still pays BOTH full write
-    * passes (mode=overwrite, nothing is cached) — reusing the path
-    * only stops repeated bench runs from accumulating copies in /tmp. */
+  /** One scratch directory per (context incarnation, corpus dir, use)
+    * for the keys that stage their own input layouts ([[bucketedJoin]],
+    * [[compactSmallFiles]], [[compactPartitioned]], [[partitionPrune]]):
+    * every build still pays its full write passes (mode=overwrite,
+    * nothing is cached) — reusing the path only stops repeated bench
+    * runs from accumulating copies in /tmp. */
   private val compactScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -440,8 +506,10 @@ object Sinks {
       s.read.parquet(outPath)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("source"))
     },
+    // duckNotComparable: Spark fragments + rewrites the whole table
+    // twice; the oracle is a single projection over the raw table
     Some("SELECT doc_id, md5(text) AS text_md5, source FROM documents"),
-    tags = Set("sinks"))
+    tags = Set("sinks", "duckNotComparable"))
 
   /** Registry key driving [[compactParquetPartitioned]] end-to-end:
     * fragments `documents` into a lang-partitioned table with ~16
@@ -463,12 +531,75 @@ object Sinks {
         _ => java.nio.file.Files.createTempDirectory("graft_fragp").toString)
       val frag = s"$scratch/docs_by_lang"
       docs.repartition(16).write.partitionBy("lang").mode("overwrite").parquet(frag)
-      val outPath = compactParquetPartitioned(s, frag, "lang", targetBytes = 8L << 20)
+      // doc_id is the table's stable row key — salting on it (not the
+      // wide text payload) keeps the deterministic-layout contract cheap
+      val outPath = compactParquetPartitioned(s, frag, "lang",
+        targetBytes = 8L << 20, saltCols = Seq("doc_id"))
       s.read.parquet(outPath)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
     },
+    // duckNotComparable: same asymmetry as op_compact_small_files
     Some("SELECT doc_id, md5(text) AS text_md5, lang FROM documents"),
-    tags = Set("sinks"))
+    tags = Set("sinks", "duckNotComparable"))
+
+  /** Registry key demonstrating DYNAMIC partition pruning — the single
+    * most common scan-pruning path on a real cluster: a fact table
+    * directory-partitioned on a date key, joined to a small dimension
+    * whose FILTER is on a non-partition attribute (year/quarter), so
+    * no static rule can prune the fact scan; Spark's DPP instead
+    * evaluates the dim side first (reusing its broadcast) and injects
+    * the surviving month keys as a runtime `dynamicpruning` partition
+    * filter — the fact scan OPENS only the matching month directories.
+    * At 100 TB this is the difference between scanning a decade of a
+    * date-partitioned fact table and reading the three months a
+    * quarter report asks for. The layout (orders partitioned by ship
+    * month + a month dimension carrying year/quarter) is written once
+    * per corpus — the pay-once contract of the layout family; the
+    * timed query is the pruned join. ExplainSpec pins the
+    * `dynamicpruning` expression in the executed fact scan; the oracle
+    * replays the same quarter rollup over the RAW orders table, so the
+    * hash check proves pruning dropped no row and kept no extra. */
+  val partitionPrune: graft.GQuery = graft.GQuery(
+    "op_partition_prune",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sc = s.sparkContext
+      val root = compactScratch.computeIfAbsent(
+        s"${sc.applicationId}@${sc.startTime}:$dir#dpp",
+        _ => {
+          val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+          val ord = Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+          ord.write.partitionBy("o_month").mode("overwrite").parquet(s"$base/fact")
+          Tables.orders(s, dir)
+            .select(date_format(col("o_orderdate"), "yyyy-MM").as("month_key"),
+              year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+            .distinct()
+            .write.mode("overwrite").parquet(s"$base/dim_month")
+          base
+        })
+      val fact = s.read.parquet(s"$root/fact")
+      val dim = s.read.parquet(s"$root/dim_month")
+        .where(col("y") === 1995 && col("q") === 2)
+      fact.join(dim, col("o_month") === col("month_key"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"))
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+      GROUP BY 1"""),
+    // duckNotComparable: the dim is DERIVED from orders, so the oracle
+    // collapses the star join into a one-table WHERE over the raw file
+    // — no dim scan, no join, no partitioned layout, no runtime
+    // subquery; at bench sf the ratio prices partition-granular read
+    // overhead against a 12 ms flat scan, not engine against engine
+    tags = Set("sinks", "duckNotComparable"))
 
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it

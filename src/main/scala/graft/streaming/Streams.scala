@@ -595,9 +595,18 @@ object Streams {
       val q = sinkToParquet(src, s"$tmp/out", s"$tmp/ckpt")
       q.processAllAvailable()
       q.stop()
-      val b0 = s.read.parquet(s"$tmp/out")
+      // materialize batch 0 to a SIDE directory before re-landing it:
+      // reading the sink and dynamic-overwriting the same path in one
+      // job only works because dynamic overwrite defers partition
+      // deletion to commit time — a fragile self-overwrite that would
+      // delete its own input under static mode or a changed commit
+      // protocol (r14 advice)
+      val replay = s"$tmp/replay0"
+      s.read.parquet(s"$tmp/out")
         .where(col("batch_id") === 0).drop("batch_id")
-      mergeBatch(b0, 0L, s"$tmp/out") // idempotent: overwrites its own partition
+        .write.mode("overwrite").parquet(replay)
+      // idempotent: overwrites its own partition
+      mergeBatch(s.read.parquet(replay), 0L, s"$tmp/out")
       s.read.parquet(s"$tmp/out").drop("batch_id")
     },
     Some("""

@@ -111,14 +111,47 @@ object FullTpch {
     * (same contract as [[graft.Caches.memo]]). */
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
-  private def sessionFor(s: SparkSession, root: String): SparkSession = {
+  private[graft] def sessionFor(s: SparkSession, root: String,
+      confs: Seq[(String, String)] = Nil): SparkSession = {
     val sc = s.sparkContext
-    sessions.computeIfAbsent(s"${sc.applicationId}@${sc.startTime}:$root", _ => {
+    val tag = confs.map { case (k, v) => s"$k=$v" }.mkString(";")
+    sessions.computeIfAbsent(s"${sc.applicationId}@${sc.startTime}:$root#$tag", _ => {
       val ss = s.newSession()
+      confs.foreach { case (k, v) => ss.conf.set(k, v) }
       TpchGen.tableNames.foreach(t =>
         ss.read.parquet(s"$root/$t.parquet").createOrReplaceTempView(t))
       ss
     })
+  }
+
+  /** Per-KEY session-conf overrides, claimed from the sf10 join-strategy
+    * A/B (dev/BENCH_NOTES.md round 14: exec-only n=3 mins): preferring
+    * shuffled-hash over sort-merge cuts q11 0.78→0.51 s and q14
+    * 1.81→0.51 s at sf10, because both keys are SMJ-SORT-bound with a
+    * provably bounded hash-build side — q11 probes partsupp (sf×800k
+    * rows) against supplier⋈nation filtered to ONE nation (sf×400 rows
+    * before the hash build even splits across tasks), and q14 probes
+    * the one-month lineitem slice against a two-narrow-column part
+    * projection (sf×200k rows ÷ shuffle partitions per task). Sorting
+    * those probe sides buys nothing the hash build doesn't, so SHJ is
+    * strictly less work for THESE shapes at any scale. It stays wrong
+    * as a session DEFAULT: Spark's shuffled-hash build has no graceful
+    * sort-merge fallback when the build side is misestimated, and the
+    * same A/B measured q22 regressing 1.05→1.23 s and q2 unstable
+    * (max 8.8 s) under the global flip — so the override rides each
+    * key's own memoized sub-session ([[sessionFor]]'s conf tag) and
+    * the session default stays SMJ preference + AQE runtime
+    * conversion. The `_v2` siblings share the plan shape (parameter
+    * change only), so they carry the same override; FullTpchConfSpec
+    * pins both the routing and the resulting shuffled-hash plan at the
+    * no-broadcast scale shape. */
+  private[graft] val confOverrides: Map[String, Seq[(String, String)]] = {
+    val shj = Seq("spark.sql.join.preferSortMergeJoin" -> "false")
+    Map(
+      "q11_full_important_stock" -> shj,
+      "q11_full_important_stock_v2" -> shj,
+      "q14_full_promo_revenue" -> shj,
+      "q14_full_promo_revenue_v2" -> shj)
   }
 
   /** name → the exact SQL text the Spark side runs (spec text, CTEs
@@ -143,7 +176,7 @@ object FullTpch {
       name,
       (s, dir) => {
         val root = ensurePersisted(s, TpchGen.sfFromDir(dir))
-        sessionFor(s, root).sql(sparkSql)
+        sessionFor(s, root, confOverrides.getOrElse(name, Nil)).sql(sparkSql)
       },
       Some(oracleSql),
       tags = Set("tpch_full"))

@@ -94,6 +94,38 @@ class BenchFormatSpec extends AnyFunSuite {
     } else assert(l.hiddenN == 0)
   }
 
+  test("duck geomean excludes duckNotComparable keys; raw pair and health ride the compact line") {
+    val times = keys.map(_ -> Seq(1.0, 1.1, 1.2)).toMap
+    val results = res(times)
+    // two comparable keys at 2x, one not-comparable key at 100x — the
+    // headline geo must read 2, not the polluted 5.85
+    val duck = Seq(keys(0) -> 0.5, keys(1) -> 0.5, keys(2) -> 0.01)
+    val l = BenchFormat.lines(results, "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1),
+      stealPct = 0.2, duck = duck, floorSec = 0.25,
+      notComparable = Set(keys(2)), health = "accepted")
+    val compact = parse(l.compact)
+    assert((compact \ "health") == JString("accepted"))
+    val d = compact \ "duck"
+    assert((d \ "n") == JInt(2))
+    assert((d \ "geo").values.toString.toDouble == 2.0)
+    assert((d \ "raw_n") == JInt(3))
+    // raw geo over all three: (2*2*100)^(1/3) ≈ 7.37 — published, not headline
+    assert(math.abs((d \ "raw_geo").values.toString.toDouble - 7.37) < 0.01)
+    // worst is drawn from the COMPARABLE keys (both tie at 2x here;
+    // the tagged 100x key must NOT be it), the >2x audit trigger
+    assert(Set[JValue](JString(keys(0)), JString(keys(1)))
+      .contains((d \ "worst").asInstanceOf[JArray].arr.head))
+    // adj is over comparable keys only: (1.0-0.25)/0.5 = 1.5
+    assert(math.abs((d \ "adj").values.toString.toDouble - 1.5) < 0.01)
+    // the full line's per-key map still carries ALL ratios, tagged or not
+    val ratios = (parse(l.full) \ "spark_vs_duckdb").asInstanceOf[JObject].obj.toMap
+    assert(ratios.keySet == Set(keys(0), keys(1), keys(2)))
+    // rejected health is emitted verbatim — the artifact records the storm
+    val r = BenchFormat.lines(results, "0.1", 3, Seq(1.5, 1.6, 1.4), (9.0, 15.0),
+      stealPct = 3.0, health = "rejected")
+    assert((parse(r.compact) \ "health") == JString("rejected"))
+  }
+
   test("stripped 2-decimal floats stay valid JSON tokens") {
     assert(BenchFormat.f2(0.20) == "0.2")
     assert(BenchFormat.f2(1.00) == "1")

@@ -8,6 +8,17 @@ class ExplainSpec extends SparkSpecBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("op_partition_prune: the fact scan carries a runtime dynamicpruning filter") {
+    val df = SparkEntry.queries("op_partition_prune")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // static rules cannot prune (the filter is on the dim's year/quarter,
+    // not the partition column); only DPP's runtime subquery can
+    assert(p.contains("dynamicpruningexpression"), p.take(2500))
+    assert(p.contains("PartitionFilters"), p.take(2500))
+    // and the pruned plan executes end-to-end
+    df.write.format("noop").mode("overwrite").save()
+  }
+
   test("q3: top-k via TakeOrderedAndProject, no broadcast of customer") {
     val p = plan("q3_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))

@@ -216,4 +216,62 @@ class SinksSpec extends SparkSpecBase {
     val splitCount = files(langDirs(out2).find(_.getName == bigLang.getName).get).length
     assert(splitCount >= 2 && splitCount <= 3, splitCount.toString)
   }
+
+  test("compactParquetPartitioned reruns land every row in the same file slot") {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), col("lang"))
+    val frag = tmp("fragdet")
+    src.repartition(8).write.partitionBy("lang").mode("overwrite").parquet(frag)
+    def dirBytes(d: java.io.File): Long =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val bigBytes = new java.io.File(frag).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).map(dirBytes).max
+    // sub-partition target → multi-file partitions, so the pin covers
+    // row-to-file ASSIGNMENT, not just per-partition counts
+    def sig(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .collect().map(_.getSeq[Any](1).mkString(",")).sorted.toSeq
+    val a = Sinks.compactParquetPartitioned(spark, frag, "lang",
+      targetBytes = bigBytes / 3 + 1, out = Some(frag + "_a"))
+    val b = Sinks.compactParquetPartitioned(spark, frag, "lang",
+      targetBytes = bigBytes / 3 + 1, out = Some(frag + "_b"))
+    assert(sig(a).size > 1)
+    // content-hash salt: the same rows share a file on every rerun —
+    // a positional salt (monotonically_increasing_id) makes this
+    // nondeterministic across task layouts and recomputes
+    assert(sig(a) == sig(b))
+  }
+
+  test("escaped partition values and the null partition route through the split map") {
+    // Spark URL-escapes special chars in partition directory names and
+    // writes null as __HIVE_DEFAULT_PARTITION__; the splits map must be
+    // keyed on the DECODED value or these partitions silently coalesce
+    // to one oversized file (r14 advice, medium)
+    val df = spark.range(0, 400).select(col("id"),
+      when(col("id") % 4 === 0, lit("a b"))
+        .when(col("id") % 4 === 1, lit("x:y"))
+        .when(col("id") % 4 === 2, lit(null).cast("string"))
+        .otherwise(lit("plain")).as("k"))
+    val frag = tmp("esc")
+    df.repartition(4).write.partitionBy("k").mode("overwrite").parquet(frag)
+    val dirs = new java.io.File(frag).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k=")).map(_.getName).sorted
+    assert(dirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), dirs.mkString(","))
+    // the colon value really is escaped on disk (%3A) — the scenario
+    // the decode guards against is live, not hypothetical
+    assert(dirs.contains("k=x%3Ay"), dirs.mkString(","))
+    val out = Sinks.compactParquetPartitioned(spark, frag, "k", targetBytes = 1024)
+    // every partition is larger than the 1 KB target, so every value —
+    // escaped, null-sentinel, and plain alike — must split into >1 file;
+    // a missed decode coalesces its value to exactly one
+    new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k=")).foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n >= 2, s"${d.getName} compacted to $n file(s) — split map missed it")
+      }
+    // row-for-row, null partition value included
+    assert(spark.read.parquet(out).orderBy(col("id")).collect().toSeq ==
+      df.orderBy(col("id")).collect().toSeq)
+  }
 }
