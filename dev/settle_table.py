@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Summarize a dev/settle.sh output directory into the per-key markdown
+table BENCH_NOTES carries (round-15 directive #1). For each key, uses
+the LAST accepted try's compact line (warm/steal healthy by settle.sh's
+gate); keys with no accepted try are listed as REJECTED with their best
+observed line (upper bound). Dev tooling, not shipped-library code.
+
+Usage: python3 dev/settle_table.py <settle_outdir> [accept_log]
+"""
+import glob, json, os, re, sys
+
+def last_compact(path):
+    txt = open(path, errors="replace").read()
+    lines = [l for l in txt.splitlines() if l.startswith('{"metric"')]
+    if not lines:
+        return None
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return None
+
+def main(outdir, accept_log=None):
+    accepted = {}  # key -> try number
+    if accept_log and os.path.exists(accept_log):
+        for m in re.finditer(r"^ACCEPT\s+(\S+)\s+try=(\d+)", open(accept_log).read(), re.M):
+            accepted[m.group(1)] = int(m.group(2))
+    keys = sorted({os.path.basename(p).rsplit(".", 2)[0]
+                   for p in glob.glob(os.path.join(outdir, "*.err"))})
+    rows = []
+    for k in keys:
+        tries = sorted(glob.glob(os.path.join(outdir, f"{k}.*.err")),
+                       key=lambda p: int(p.rsplit(".", 2)[1]))
+        pick, status = None, "REJECTED"
+        if k in accepted:
+            cand = os.path.join(outdir, f"{k}.{accepted[k]}.err")
+            pick = last_compact(cand)
+            status = "ok"
+        if pick is None:
+            # fall back to the healthiest try by warm sentinel
+            cands = [(last_compact(p), p) for p in tries]
+            cands = [(c, p) for c, p in cands if c]
+            if not cands:
+                rows.append((k, None, status)); continue
+            pick = min(cands, key=lambda cp: cp[0].get("warm", 99))[0]
+            if status != "ok":
+                h = pick.get("health", "")
+                status = "ok" if h == "accepted" else "REJECTED"
+        rows.append((k, pick, status))
+    print("| key | sf10 [min,med,max] | warm | steal | duck | ratio | adj | status |")
+    print("| --- | --- | --- | --- | --- | --- | --- | --- |")
+    for k, c, status in rows:
+        if c is None:
+            print(f"| {k} | no line | | | | | | {status} |")
+            continue
+        slow = c.get("slow", {}).get(k)
+        trip = ",".join(f"{t:g}" for t in slow) if slow else "?"
+        duck = c.get("duck") or {}
+        dn = duck.get("n", 0)
+        spark_min = slow[0] if slow else None
+        dsec = ratio = adj = ""
+        if dn == 1 and spark_min is not None:
+            r = duck.get("geo")
+            ratio = f"{r:g}"
+            dsec = f"{spark_min / r:.2f}" if r else ""
+            adj = f"{duck.get('adj'):g}" if duck.get("adj") is not None else ""
+        print(f"| {k} | [{trip}] | {c.get('warm')} | {c.get('steal')} "
+              f"| {dsec} | {ratio} | {adj} | {status} |")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)

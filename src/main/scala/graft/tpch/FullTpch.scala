@@ -124,35 +124,30 @@ object FullTpch {
     })
   }
 
-  /** Per-KEY session-conf overrides, claimed from the sf10 join-strategy
-    * A/B (dev/BENCH_NOTES.md round 14: exec-only n=3 mins): preferring
-    * shuffled-hash over sort-merge cuts q11 0.78→0.51 s and q14
-    * 1.81→0.51 s at sf10, because both keys are SMJ-SORT-bound with a
-    * provably bounded hash-build side — q11 probes partsupp (sf×800k
-    * rows) against supplier⋈nation filtered to ONE nation (sf×400 rows
-    * before the hash build even splits across tasks), and q14 probes
-    * the one-month lineitem slice against a two-narrow-column part
-    * projection (sf×200k rows ÷ shuffle partitions per task). Sorting
-    * those probe sides buys nothing the hash build doesn't, so SHJ is
-    * strictly less work for THESE shapes at any scale. It stays wrong
-    * as a session DEFAULT: Spark's shuffled-hash build has no graceful
-    * sort-merge fallback when the build side is misestimated, and the
-    * same A/B measured q22 regressing 1.05→1.23 s and q2 unstable
-    * (max 8.8 s) under the global flip — so the override rides each
-    * key's own memoized sub-session ([[sessionFor]]'s conf tag) and
-    * the session default stays SMJ preference + AQE runtime
-    * conversion. The `_v2` siblings share the plan shape (parameter
-    * change only), so they carry the same override; FullTpchConfSpec
-    * pins both the routing and the resulting shuffled-hash plan at the
-    * no-broadcast scale shape. */
-  private[graft] val confOverrides: Map[String, Seq[(String, String)]] = {
-    val shj = Seq("spark.sql.join.preferSortMergeJoin" -> "false")
-    Map(
-      "q11_full_important_stock" -> shj,
-      "q11_full_important_stock_v2" -> shj,
-      "q14_full_promo_revenue" -> shj,
-      "q14_full_promo_revenue_v2" -> shj)
-  }
+  /** Per-KEY session-conf overrides, routed through [[sessionFor]]'s
+    * conf tag so a single key can run under a different physical-
+    * strategy preference without touching the session default.
+    *
+    * CURRENTLY EMPTY, and deliberately so — the one candidate family
+    * was measured away (dev/BENCH_NOTES.md round 15). Round 14's
+    * non-interleaved A/B read "SHJ cuts q11 0.78→0.51 and q14
+    * 1.81→0.51 at sf10"; round 15 re-ran it ARMS-INTERLEAVED in one
+    * JVM on the same memoized catalog and found wall-clock PARITY
+    * (q11 smj [0.735..] vs shj [0.771..]; q14 smj [0.757..] vs shj
+    * [0.728..]) — the r14 deltas were host drift landing on the
+    * default arm. The plan audit explains why: at sf10 q11's six
+    * joins are ALL AQE-broadcast already (the projected build sides
+    * sit far under the 10 MB threshold — `preferSortMergeJoin` is a
+    * no-op on its plan), and q14's flip to sort-free SHJ is real
+    * (2 SMJ + 4 Sort → 2 SHJ + 0 Sort) but buys nothing measurable,
+    * so the spill-safe SMJ default wins on robustness at any larger
+    * scale. Any future entry here must carry an interleaved
+    * same-JVM A/B in BENCH_NOTES — FullTpchConfSpec pins the empty
+    * state and proves the routing mechanism live. The
+    * `SPARK_GRAFT_NO_CONF_OVERRIDES` escape hatch below is that
+    * A/B's control-arm instrument. */
+  private[graft] val confOverrides: Map[String, Seq[(String, String)]] =
+    Map.empty
 
   /** name → the exact SQL text the Spark side runs (spec text, CTEs
     * prefixed) — read by the measurement probes (FullTpchProbeMain)
@@ -176,7 +171,14 @@ object FullTpch {
       name,
       (s, dir) => {
         val root = ensurePersisted(s, TpchGen.sfFromDir(dir))
-        sessionFor(s, root, confOverrides.getOrElse(name, Nil)).sql(sparkSql)
+        // SPARK_GRAFT_NO_CONF_OVERRIDES: measurement escape hatch — a
+        // settle/A/B run sets it to time the same key over the default
+        // session confs, so every claimed override win has a same-
+        // instrument counterfactual (dev/BENCH_NOTES.md round 15)
+        val confs =
+          if (sys.env.contains("SPARK_GRAFT_NO_CONF_OVERRIDES")) Nil
+          else confOverrides.getOrElse(name, Nil)
+        sessionFor(s, root, confs).sql(sparkSql)
       },
       Some(oracleSql),
       tags = Set("tpch_full"))
