@@ -31,6 +31,7 @@ object Registry {
       sources.AuxGen.all ++
       Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed,
         sources.Sinks.q18Bucketed, sources.Sinks.q14Bucketed,
+        sources.Sinks.q5Bucketed, sources.Sinks.q17Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune) ++
       pipeline.TrainingData.all

@@ -150,7 +150,12 @@ object Sinks {
 
   private def orderkeyLayout(s: SparkSession, root: String): (String, String) =
     factLayout(s, root, "ok", (
+      // column set = union of what the serving family (q21/q18/q5
+      // bucketed) reads; widening it (q5 added extendedprice+discount,
+      // round 15) costs only layout-write bytes — every query's scan
+      // stays as narrow as its own projection (parquet column pruning)
       ("lineitem", Seq("l_orderkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
         "l_receiptdate", "l_commitdate"), "l_orderkey"),
       ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate"), "o_orderkey")))
@@ -163,9 +168,11 @@ object Sinks {
     * bucketing its joins consume. */
   private def partkeyLayout(s: SparkSession, root: String): (String, String) =
     factLayout(s, root, "pk", (
-      ("lineitem", Seq("l_partkey", "l_extendedprice", "l_discount",
-        "l_shipdate"), "l_partkey"),
-      ("part", Seq("p_partkey", "p_type"), "p_partkey")))
+      // q17 (round 15) added l_quantity / p_brand / p_container — same
+      // width-vs-pruning tradeoff as the orderkey layout
+      ("lineitem", Seq("l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"), "l_partkey"),
+      ("part", Seq("p_partkey", "p_type", "p_brand", "p_container"), "p_partkey")))
 
   /** Sub-session for reading the bucketed layout (shares the catalog,
     * so it sees the layout tables; own conf, so nothing leaks into the
@@ -334,6 +341,110 @@ object Sinks {
           sum(cents).cast("double"), 6).as("promo_revenue"))
     },
     graft.tpch.FullTpch.q14Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Third consumer of the shared [[orderkeyLayout]]: textbook TPC-H Q5
+    * (local-supplier revenue), the worst quiet-settle sf10 ratio family
+    * of round 15 (15-18× raw — dev/BENCH_NOTES.md): over raw parquet
+    * its fact chain hash-partitions AND sorts customer, orders, and the
+    * full 60M-row lineitem for two sort-merge joins. Over the layout
+    * the orders⋈lineitem join streams the co-bucketed scans
+    * exchange-free, and the joins are reordered (inner equi-joins
+    * commute) so everything downstream of the fact join is a BROADCAST:
+    * supplier, the ASIA-filtered nation list, and customer — the
+    * c_custkey = o_custkey AND c_nationkey = s_nationkey predicate
+    * rides the customer broadcast join. The only hash exchange left in
+    * the plan is the 25-group n_name rollup, and the only Sort is the
+    * 5-row ORDER BY (the spec pins both). The customer broadcast hint
+    * is bounded like q18's: ~16 bytes/row of (custkey, nationkey) ≈
+    * 24 MB at sf10 — right for any sf this suite runs; at sf ≳ 100 a
+    * deployment drops the hint and shuffles the already region-filtered,
+    * pre-reduced fact side instead, still a fraction of the raw plan's
+    * exchange volume. Oracle BYTE-IDENTICAL to
+    * `q5_full_local_supplier`'s spec text: relayout + reorder must not
+    * change a single row. */
+  val q5Bucketed: graft.GQuery = graft.GQuery(
+    "q5_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = ss.table(orTable)
+        .where(col("o_orderdate") >= lit("1994-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+      // bucket-aligned fact join (zero exchange), reduced to the three
+      // columns the dimension joins need
+      val fact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"), cents.as("cents"))
+      val supp = ss.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val asiaNations = ss.read.parquet(s"$root/nation.parquet")
+        .join(broadcast(ss.read.parquet(s"$root/region.parquet")
+          .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = ss.read.parquet(s"$root/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      fact.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))
+        .orderBy(desc("revenue"))
+    },
+    graft.tpch.FullTpch.q5Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Second consumer of the [[partkeyLayout]]: textbook TPC-H Q17
+    * (small-quantity revenue), round 15's second-worst non-correlated
+    * sf10 residue (11.7× raw). Its cost over raw parquet is lineitem
+    * paid TWICE on the partkey — once hash-partitioned + sorted for
+    * the brand/container join, once for the correlated
+    * 20%-of-avg-quantity rollup (Catalyst rewrites the subquery to an
+    * aggregate + equi-join, so the raw plan is two full lineitem
+    * exchanges + two sorts). Over the layout BOTH rides are free: the
+    * per-partkey avg aggregates bucket-partitioned data with no
+    * exchange, and the three-way join (lineitem ⋈ filtered part ⋈
+    * avg frame) is bucket-aligned end to end — the executed plan's
+    * only data movement is the single-row global aggregate's
+    * `Exchange SinglePartition`, and its only Sort is the bucket-LOCAL
+    * re-sort of the avg frame (one row per part — the hash aggregate
+    * discards the scan's order before the merge join; never a
+    * fact-side sort). Spec pins zero hash exchanges and exactly that
+    * one sort. Oracle BYTE-IDENTICAL to
+    * `q17_full_small_qty_revenue`'s spec text. */
+  val q17Bucketed: graft.GQuery = graft.GQuery(
+    "q17_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, ptTable) = partkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      // the correlated subquery's avg is over ALL lines of the part
+      // (no brand filter — it correlates only on the partkey);
+      // grouping key = bucket key ⇒ exchange-free
+      val qtyLim = li.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+        .withColumnRenamed("l_partkey", "lim_partkey")
+      val pt = ss.table(ptTable)
+        .where(col("p_brand") === "Brand#23" && col("p_container") === "MED BOX")
+        .select(col("p_partkey"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .join(qtyLim, col("l_partkey") === col("lim_partkey"))
+        .where(col("l_quantity") < col("qty_lim"))
+        .agg(round(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0 / 7.0, 2).as("avg_yearly"))
+    },
+    graft.tpch.FullTpch.q17Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** Compact a parquet directory's files to ~`targetBytes` outputs and

@@ -35,7 +35,12 @@ object Tables {
     * default — read via legacy nanosAsLong and truncate to µs, exactly
     * what DuckDB's TIMESTAMP does) and, since round 12, as a plain
     * µs-precision timestamp (already DuckDB-identical — pass through).
-    * Dispatch on the read schema so both corpora keep working. */
+    * Dispatch on the read schema so both corpora keep working. The
+    * same dispatch normalizes `value`: the AuxGen corpus persists it
+    * as DECIMAL(24,2) (Spark's `bigint / 100.0` literal arithmetic)
+    * where the driver testdata carries DOUBLE — without the cast,
+    * value-typed outputs would change schema with the corpus (caught
+    * by the round-15 sf1 spot-check, dev/BENCH_NOTES.md). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,7 +48,9 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos-as-long corpus
         raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          .withColumn("value",
+            org.apache.spark.sql.functions.col("value").cast("double"))
       case _ => raw
     }
   }

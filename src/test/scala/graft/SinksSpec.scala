@@ -142,6 +142,48 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q5_full_bucketed: fact join rides the layout, dims broadcast, one rollup shuffle") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q5_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw q5 hash-partitions customer, orders, AND the full lineitem;
+      // over the layout the only hash exchange is the 25-group n_name
+      // rollup (supplier/nation/region/customer ride explicit
+      // broadcasts, the fact join rides the bucketing)
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 1, s"expected only the n_name rollup shuffle, got $shuffles:\n${plan.take(4000)}")
+      // the single Sort is the 5-row ORDER BY revenue — the fact merge
+      // join streams bucket order
+      val sorts = "\\bSort \\[".r.findAllMatchIn(plan).size
+      assert(sorts <= 1, s"expected only the output ORDER BY sort, got $sorts:\n${plan.take(4000)}")
+      val expected = Registry.byName("q5_full_local_supplier").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q17_full_bucketed: correlated-avg rollup and both joins ride the partkey bucketing") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q17_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw q17 pays lineitem twice on the partkey (join + the rewritten
+      // correlated avg); over the layout both the per-partkey avg and
+      // the three-way join are bucket-aligned — zero hash exchanges,
+      // zero Sorts, only the single-row global agg's SinglePartition
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 0, s"expected a hash-exchange-free plan, got $shuffles:\n${plan.take(4000)}")
+      // one bucket-LOCAL sort survives: the per-partkey avg frame loses
+      // the scan's order through the hash aggregate and is re-sorted
+      // for its merge join — one row per part, never a fact-side sort
+      val sorts = "\\bSort \\[".r.findAllMatchIn(plan).toSeq
+      assert(sorts.size == 1, s"expected only the avg-frame re-sort, got ${sorts.size}:\n${plan.take(4000)}")
+      assert(plan.contains("Sort [lim_partkey"), s"the surviving sort is not the avg frame:\n${plan.take(4000)}")
+      val expected = Registry.byName("q17_full_small_qty_revenue").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val frag = tmp("frag")
