@@ -350,17 +350,22 @@ object Sinks {
     * full 60M-row lineitem for two sort-merge joins. Over the layout
     * the orders⋈lineitem join streams the co-bucketed scans
     * exchange-free, and the joins are reordered (inner equi-joins
-    * commute) so everything downstream of the fact join is a BROADCAST:
-    * supplier, the ASIA-filtered nation list, and customer — the
-    * c_custkey = o_custkey AND c_nationkey = s_nationkey predicate
-    * rides the customer broadcast join. The only hash exchange left in
-    * the plan is the 25-group n_name rollup, and the only Sort is the
-    * 5-row ORDER BY (the spec pins both). The customer broadcast hint
-    * is bounded like q18's: ~16 bytes/row of (custkey, nationkey) ≈
-    * 24 MB at sf10 — right for any sf this suite runs; at sf ≳ 100 a
-    * deployment drops the hint and shuffles the already region-filtered,
-    * pre-reduced fact side instead, still a fraction of the raw plan's
-    * exchange volume. Oracle BYTE-IDENTICAL to
+    * commute) so supplier and the ASIA-filtered nation list ride
+    * broadcasts over the pre-reduced fact, and the customer join —
+    * c_custkey = o_custkey AND c_nationkey = s_nationkey — SHUFFLES
+    * the reduced fact (year- and region-filtered, three narrow
+    * columns) against customer. Customer is deliberately NOT
+    * broadcast: the three-arm interleaved A/B at sf10
+    * (Q5VariantAbMain, dev/BENCH_NOTES.md round 15) measured the
+    * 1.5M-row broadcast BUILD costing more than the shuffle it saves
+    * (bcast [3.62,3.98,...] vs shuffle [2.38,2.69,...] vs raw
+    * [5.26,6.78,...]) — and unlike q18's few-hundred-row rollup
+    * broadcast, a full-dimension broadcast also grows linearly with
+    * sf, so the shuffle arm is BOTH the measured and the 100 TB-safe
+    * choice. What the layout erases vs raw: the full-lineitem and
+    * orders hash exchanges + sorts; what remains moves only the
+    * reduced fact and customer (spec pins ≤3 hash exchanges — those
+    * two plus the 25-group n_name rollup). Oracle BYTE-IDENTICAL to
     * `q5_full_local_supplier`'s spec text: relayout + reorder must not
     * change a single row. */
   val q5Bucketed: graft.GQuery = graft.GQuery(
@@ -393,7 +398,7 @@ object Sinks {
         .select(col("c_custkey"), col("c_nationkey"))
       fact.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"))

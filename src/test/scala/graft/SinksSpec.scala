@@ -142,21 +142,25 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
-  test("q5_full_bucketed: fact join rides the layout, dims broadcast, one rollup shuffle") {
+  test("q5_full_bucketed: fact join rides the layout; only the reduced fact, customer, and rollup move") {
     withAutoBroadcastDisabled {
       val df = Registry.byName("q5_full_bucketed").build(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
-      // raw q5 hash-partitions customer, orders, AND the full lineitem;
-      // over the layout the only hash exchange is the 25-group n_name
-      // rollup (supplier/nation/region/customer ride explicit
-      // broadcasts, the fact join rides the bucketing)
+      // raw q5 hash-partitions the FULL lineitem, orders, and customer
+      // (plus re-exchanges of the join chain); over the layout the
+      // orders⋈lineitem join is exchange-free and the surviving
+      // exchanges move only the year+region-reduced 3-column fact, the
+      // 2-column customer, and the 25-group n_name rollup (the
+      // customer side is deliberately shuffled, not broadcast — the
+      // measured arm, see the scaladoc)
       val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
-      assert(shuffles == 1, s"expected only the n_name rollup shuffle, got $shuffles:\n${plan.take(4000)}")
-      // the single Sort is the 5-row ORDER BY revenue — the fact merge
-      // join streams bucket order
-      val sorts = "\\bSort \\[".r.findAllMatchIn(plan).size
-      assert(sorts <= 1, s"expected only the output ORDER BY sort, got $sorts:\n${plan.take(4000)}")
+      assert(shuffles <= 3, s"expected at most fact/customer/rollup shuffles, got $shuffles:\n${plan.take(4000)}")
+      // no Sort may touch the bucket-ordered fact join; the customer
+      // merge join sorts only the reduced sides, plus the 5-row
+      // ORDER BY
+      assert(!plan.contains("Sort [l_orderkey"),
+        s"the bucket-ordered fact join re-sorted:\n${plan.take(4000)}")
       val expected = Registry.byName("q5_full_local_supplier").build(spark, sfDir)
       assert(df.collect().toSeq == expected.collect().toSeq)
     }
