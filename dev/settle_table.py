@@ -34,17 +34,20 @@ def main(outdir, accept_log=None):
         if k in accepted:
             cand = os.path.join(outdir, f"{k}.{accepted[k]}.err")
             pick = last_compact(cand)
-            status = "ok"
+            # "ok" only when the accepted try actually parsed — an
+            # unparsable accepted .err must not pre-stamp the fallback
+            # pick as healthy (r15 advice)
+            if pick is not None:
+                status = "ok"
         if pick is None:
-            # fall back to the healthiest try by warm sentinel
+            # fall back to the healthiest try by warm sentinel; its own
+            # in-artifact health verdict decides the status
             cands = [(last_compact(p), p) for p in tries]
             cands = [(c, p) for c, p in cands if c]
             if not cands:
                 rows.append((k, None, status)); continue
             pick = min(cands, key=lambda cp: cp[0].get("warm", 99))[0]
-            if status != "ok":
-                h = pick.get("health", "")
-                status = "ok" if h == "accepted" else "REJECTED"
+            status = "ok" if pick.get("health", "") == "accepted" else "REJECTED"
         rows.append((k, pick, status))
     print("| key | sf10 [min,med,max] | warm | steal | duck | ratio | adj | status |")
     print("| --- | --- | --- | --- | --- | --- | --- | --- |")

@@ -197,8 +197,13 @@ object Bench {
     // else is `rejected` — a valid UPPER BOUND, never canonical
     // (unknown steal, -1, doesn't reject: absence of the counter is
     // not evidence of a storm).
+    // warmup >= 0: runOnce failures become -1.0 sentinels — a dead
+    // sentinel (median -1) must reject, not slip under the ceiling
+    // (r15 advice; the -1 carve-out is only for UNKNOWN steal, where
+    // absence of the counter is not evidence of a storm)
     val health =
-      if (warmup <= warmIdleMax && stealPct <= 1.0) "accepted" else "rejected"
+      if (warmup >= 0 && warmup <= warmIdleMax && stealPct <= 1.0) "accepted"
+      else "rejected"
     if (health == "rejected")
       System.err.println(f"[bench] HEALTH REJECTED (warm $warmup%.2f vs ceiling $warmIdleMax%.2f, steal $stealPct%.2f%%) — this line is an upper bound, not canonical")
     val notComparable = Registry.all

@@ -517,6 +517,19 @@ object Sinks {
     * exactly that window). Callers with a known row key pass it as
     * `saltCols` to skip hashing wide payload columns.
     *
+    * Duplicate-mass caveat (the flip side of content hashing): rows
+    * whose `saltCols` values are IDENTICAL co-route to one slot by
+    * construction, so a partition dominated by byte-identical
+    * duplicates can emit one file well over `targetBytes` — the skew
+    * guarantee above holds per DISTINCT content, not per row. Callers
+    * compacting a corpus with planted duplicate mass should pass a
+    * near-unique `saltCols` (a row id); determinism then still holds
+    * because the id is row content. A positional disambiguator would
+    * restore the size bound but break the recompute-safety contract,
+    * which this operator ranks higher — a 2× oversized file is a
+    * nuisance, a dropped row under a fetch-failure recompute is
+    * corruption.
+    *
     * Partition-name decoding: Spark ESCAPES partition values in
     * directory names (URL-style for chars like `:` or space, and the
     * `__HIVE_DEFAULT_PARTITION__` sentinel for null) while
@@ -579,10 +592,17 @@ object Sinks {
     val allSplits = splits.values.map(_.toLong).sum + nullSplits.getOrElse(0)
     val totalSlots = math.max(1, allSplits.min(64 << 10).toInt) * 4
     val df = spark.read.parquet(path)
-    val saltInput =
-      (if (saltCols.nonEmpty) saltCols
-       else df.columns.toSeq.filterNot(_ == partitionCol)).map(col)
-    df.withColumn("__slot", pmod(hash(saltInput: _*), nSlots))
+    val saltCandidates =
+      if (saltCols.nonEmpty) saltCols
+      else df.columns.toSeq.filterNot(_ == partitionCol)
+    // a partition-col-only table has nothing to salt on: route every
+    // row to slot 0 (one file per partition — the only correct answer
+    // for zero data columns) instead of letting hash() with no args
+    // fail analysis with an opaque error
+    val salt =
+      if (saltCandidates.isEmpty) lit(0)
+      else hash(saltCandidates.map(col): _*)
+    df.withColumn("__slot", pmod(salt, nSlots))
       .repartition(totalSlots, col(partitionCol), col("__slot"))
       .drop("__slot")
       .write.partitionBy(partitionCol).mode("overwrite").parquet(outPath)
