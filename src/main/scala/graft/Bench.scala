@@ -148,12 +148,34 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // shared pay-once layouts built BEFORE the clock (r15 verdict #4):
+    // the *_full_bucketed keys read corpus-lifetime bucketed tables; in
+    // a fresh JVM whichever consumer ran first used to absorb the whole
+    // shared write into its own line. The write stays priced — as the
+    // separate layout_build field below.
+    val layoutSec =
+      if (!names.exists(_.endsWith("_full_bucketed"))) -1.0
+      else try sources.Sinks.prebuildLayouts(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] layout prebuild failed: ${e.getMessage}"); -1.0
+      }
+    if (layoutSec >= 0)
+      System.err.println(f"[bench] layout_build $layoutSec%.2f s (shared bucketed layouts, paid once before the timed loop)")
+    // intra-run weather sentinels (r15 verdict #3): one q6 run every
+    // ~30 keys; the accepted/rejected verdict can no longer miss a
+    // storm that starts after the start sentinel and ends before the
+    // run does (r15's accepted line carried a mid-run stretch that
+    // inflated the graph family ~2× past its solo settles)
+    val warmMid = collection.mutable.Buffer[(String, Double)]()
     // sorted run times per key (empty = every run failed)
-    val results: Seq[(String, Either[String, Seq[Double]])] = names.map { name =>
-      val runs = (1 to n).map(_ => runOnce(name))
-      val ok = runs.collect { case Right(t) => t }.sorted
-      name -> (if (ok.nonEmpty) Right(ok)
-               else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
+    val results: Seq[(String, Either[String, Seq[Double]])] = names.zipWithIndex.map {
+      case (name, i) =>
+        if (i > 0 && i % 30 == 0)
+          runOnce("q6_forecast_revenue").foreach(t => warmMid += name -> t)
+        val runs = (1 to n).map(_ => runOnce(name))
+        val ok = runs.collect { case Right(t) => t }.sorted
+        name -> (if (ok.nonEmpty) Right(ok)
+                 else Left(runs.collectFirst { case Left(m) => m }.getOrElse("?")))
     }
     results.collect { case (k, Left(msg)) =>
       System.err.println(s"[bench] $k FAILED: $msg")
@@ -200,20 +222,27 @@ object Bench {
     // warmup >= 0: runOnce failures become -1.0 sentinels — a dead
     // sentinel (median -1) must reject, not slip under the ceiling
     // (r15 advice; the -1 carve-out is only for UNKNOWN steal, where
-    // absence of the counter is not evidence of a storm)
+    // absence of the counter is not evidence of a storm). Mid-run
+    // sentinels close the intra-run weather hole: any single q6 probe
+    // past 2× the ceiling marks a storm the start/end gate cannot see
+    // (2×, not 1×, because a lone mid probe has no median smoothing).
+    val stormMid = warmMid.filter(_._2 > 2 * warmIdleMax)
     val health =
-      if (warmup >= 0 && warmup <= warmIdleMax && stealPct <= 1.0) "accepted"
+      if (warmup >= 0 && warmup <= warmIdleMax && stealPct <= 1.0 &&
+        stormMid.isEmpty) "accepted"
       else "rejected"
     if (health == "rejected")
-      System.err.println(f"[bench] HEALTH REJECTED (warm $warmup%.2f vs ceiling $warmIdleMax%.2f, steal $stealPct%.2f%%) — this line is an upper bound, not canonical")
+      System.err.println(f"[bench] HEALTH REJECTED (warm $warmup%.2f vs ceiling $warmIdleMax%.2f, steal $stealPct%.2f%%, mid-run storms ${stormMid.map { case (k, t) => f"$t%.2f@$k" }.mkString("[", ",", "]")}) — this line is an upper bound, not canonical")
     val notComparable = Registry.all
       .filter(_.tags.contains("duckNotComparable")).map(_.name).toSet
 
     val lines = BenchFormat.lines(results, sfNum, n, warm3, (loadStart, loadEnd),
-      stealPct, duck, floorMed, notComparable, health)
+      stealPct, duck, floorMed, notComparable, health,
+      warmMid.map(_._2).toSeq, layoutSec)
 
     // everything, unabridged, for post-hoc forensics
-    writeLastDump(results, sfNum, n, warm3, loadStart, loadEnd, stealPct, duck, health)
+    writeLastDump(results, sfNum, n, warm3, loadStart, loadEnd, stealPct, duck,
+      health, warmMid.toSeq, layoutSec)
 
     // stdout first (driver contract line), then the compact parse
     // target LAST on stderr — the tail window keeps the end of the
@@ -340,7 +369,8 @@ object Bench {
       results: Seq[(String, Either[String, Seq[Double]])],
       sfNum: String, n: Int, warm3: Seq[Double],
       loadStart: Double, loadEnd: Double, stealPct: Double,
-      duck: Seq[(String, Double)], health: String): Unit =
+      duck: Seq[(String, Double)], health: String,
+      warmMid: Seq[(String, Double)] = Nil, layoutSec: Double = -1): Unit =
     try {
       val per = results.map {
         case (k, Right(ts)) =>
@@ -348,11 +378,16 @@ object Bench {
         case (k, Left(m)) =>
           s"""    "$k": {"error": "${m.replaceAll("[\"\\\\\n\r\t]", " ").take(200)}"}"""
       }
+      val midJson = warmMid
+        .map { case (k, t) => s"""{"before": "$k", "sec": ${BenchFormat.f2(t)}}""" }
+        .mkString("[", ", ", "]")
       val body =
         s"""{
            |  "sf": $sfNum,
            |  "n": $n,
            |  "warm3": ${warm3.map(BenchFormat.f2).mkString("[", ", ", "]")},
+           |  "warm_mid": $midJson,
+           |  "layout_build_sec": ${BenchFormat.f2(layoutSec)},
            |  "load": [${BenchFormat.f2(loadStart)}, ${BenchFormat.f2(loadEnd)}],
            |  "steal_pct": ${BenchFormat.f2(stealPct)},
            |  "health": "$health",

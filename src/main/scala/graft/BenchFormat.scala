@@ -101,7 +101,9 @@ object BenchFormat {
       duck: Seq[(String, Double)] = Nil,
       floorSec: Double = -1,
       notComparable: Set[String] = Set.empty,
-      health: String = ""): Lines = {
+      health: String = "",
+      warmMid: Seq[Double] = Nil,
+      layoutSec: Double = -1): Lines = {
     val ok = results.collect { case (k, Right(ts)) => (k, ts) }
     val failed = results.collect { case (k, Left(_)) => k }
     val total = ok.map(_._2.head).sum
@@ -179,9 +181,19 @@ object BenchFormat {
         s""","duck":{"n":${head.size},"geo":${f2(geo)}$adjJson$rawJson,"worst":["$wk",${f2(wr)}]}"""
       }
     val healthJson = if (health.isEmpty) "" else s""","health":"$health""""
+    // intra-run weather record (r15 verdict #3): one q6 sentinel every
+    // ~30 keys — a mid-run storm is visible in the artifact itself,
+    // and Bench rejects the line when one exceeds 2× the idle ceiling
+    val warmMidJson =
+      if (warmMid.isEmpty) ""
+      else s""","warm_mid":[${warmMid.map(f2).mkString(",")}]"""
+    // shared pay-once layout builds, paid BEFORE the timed loop so the
+    // bucketed consumer keys measure queries, not the write (r15
+    // verdict #4); the write cost stays priced — in its own field
+    val layoutJson = if (layoutSec < 0) "" else s""","layout_build":${f2(layoutSec)}"""
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
-        s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}],""" +
+        s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}]$warmMidJson$layoutJson,""" +
         s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$healthJson$floorJson$duckJson,"slow":$slow""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""

@@ -32,6 +32,8 @@ object Registry {
       Seq(sources.Sinks.bucketedJoin, sources.Sinks.q21Bucketed,
         sources.Sinks.q18Bucketed, sources.Sinks.q14Bucketed,
         sources.Sinks.q5Bucketed, sources.Sinks.q17Bucketed,
+        sources.Sinks.q2Bucketed, sources.Sinks.q11Bucketed,
+        sources.Sinks.q16Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune) ++
       pipeline.TrainingData.all

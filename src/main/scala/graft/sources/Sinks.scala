@@ -104,7 +104,7 @@ object Sinks {
     * context incarnation so entries from stopped sessions are
     * unreachable). Values are the registered catalog table names. */
   private val factLayouts =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val layoutSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** The shared orderkey-bucketed fact layout: lineitem + orders
@@ -123,7 +123,7 @@ object Sinks {
     * (one task per bucket): 32 = this box's core count; a cluster
     * deployment sizes it to executor-cores × executors. */
   private def factLayout(s: SparkSession, root: String, tag: String,
-      tables: ((String, Seq[String], String), (String, Seq[String], String))): (String, String) = {
+      tables: Seq[(String, Seq[String], String)]): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val sc = s.sparkContext
     factLayouts.computeIfAbsent(
@@ -138,18 +138,21 @@ object Sinks {
         val wh = java.nio.file.Files.createTempDirectory("graft_fact_layout").toString
         def write(spec: (String, Seq[String], String)): String = {
           val (file, cols, bucketCol) = spec
-          val table = s"graft_bktfact_${tag}_${file.take(2)}$suffix"
+          // full file name, not a prefix: "partsupp"/"part" share any
+          // short prefix, and a collision silently repoints one catalog
+          // table at the other's data
+          val table = s"graft_bktfact_${tag}_$file$suffix"
           writeBucketed(s.read.parquet(s"$root/$file.parquet")
               .select(cols.map(col): _*),
             table, s"$wh/$file", bucketCol, 32)
           table
         }
-        (write(tables._1), write(tables._2))
+        tables.map(write)
       })
   }
 
   private def orderkeyLayout(s: SparkSession, root: String): (String, String) =
-    factLayout(s, root, "ok", (
+    pair(factLayout(s, root, "ok", Seq(
       // column set = union of what the serving family (q21/q18/q5
       // bucketed) reads; widening it (q5 added extendedprice+discount,
       // round 15) costs only layout-write bytes — every query's scan
@@ -158,7 +161,26 @@ object Sinks {
         "l_extendedprice", "l_discount",
         "l_receiptdate", "l_commitdate"), "l_orderkey"),
       ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate"), "o_orderkey")))
+        "o_totalprice", "o_orderdate"), "o_orderkey"))))
+
+  private def pair(ts: Seq[String]): (String, String) = (ts.head, ts(1))
+
+  /** Build every shared pay-once layout for `dir`'s corpus up front and
+    * return the wall-seconds the writes took. Bench calls this BEFORE
+    * its timed loop (when any `*_full_bucketed` key is selected) so the
+    * consumer keys measure QUERIES while the write-once cost stays
+    * priced in its own `layout_build` field — previously whichever
+    * bucketed key ran first in a fresh JVM absorbed the whole shared
+    * write (r15: q21_full_bucketed 13.4 s in-suite vs 0.77 s settled).
+    * Idempotent per (context, corpus): later calls are memo lookups. */
+  def prebuildLayouts(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+    orderkeyLayout(s, root)
+    partkeyLayout(s, root)
+    partsuppLayout(s, root)
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** The PARTKEY sibling of [[orderkeyLayout]]: lineitem + part
     * bucket-sorted on the part key, serving the lineitem⋈part query
@@ -167,12 +189,30 @@ object Sinks {
     * high-traffic join key and routes each query to the copy whose
     * bucketing its joins consume. */
   private def partkeyLayout(s: SparkSession, root: String): (String, String) =
-    factLayout(s, root, "pk", (
+    pair(factLayout(s, root, "pk", Seq(
       // q17 (round 15) added l_quantity / p_brand / p_container — same
       // width-vs-pruning tradeoff as the orderkey layout
       ("lineitem", Seq("l_partkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate"), "l_partkey"),
-      ("part", Seq("p_partkey", "p_type", "p_brand", "p_container"), "p_partkey")))
+      ("part", Seq("p_partkey", "p_type", "p_brand", "p_container"), "p_partkey"))))
+
+  /** The PARTSUPP sibling: partsupp + part bucket-sorted on the part
+    * key, serving the partsupp-keyed family that was round 15's entire
+    * remaining ≥8× sf10 residue (q2 16.2×, q11 9.8×, q16 10.0× + v2
+    * siblings — all pay partsupp, or its correlated re-scan, on the
+    * partkey). Column set = union of what `q2_full_bucketed` /
+    * `q11_full_bucketed` / `q16_full_bucketed` read; same
+    * width-costs-write-bytes-only contract as the other layouts
+    * (parquet column pruning keeps each query's scan at its own
+    * projection). Note q11 buckets USE: its grouping key is
+    * ps_partkey, so the bucketed scan feeds its per-part aggregation
+    * exchange-free even though q11 never joins part. */
+  private def partsuppLayout(s: SparkSession, root: String): (String, String) =
+    pair(factLayout(s, root, "ps", Seq(
+      ("partsupp", Seq("ps_partkey", "ps_suppkey", "ps_availqty",
+        "ps_supplycost"), "ps_partkey"),
+      ("part", Seq("p_partkey", "p_mfgr", "p_brand", "p_type", "p_size"),
+        "p_partkey"))))
 
   /** Sub-session for reading the bucketed layout (shares the catalog,
     * so it sees the layout tables; own conf, so nothing leaks into the
@@ -450,6 +490,158 @@ object Sinks {
           .cast("double") / 100.0 / 7.0, 2).as("avg_yearly"))
     },
     graft.tpch.FullTpch.q17Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** First consumer of the [[partsuppLayout]]: textbook TPC-H Q2
+    * (min-cost supplier), round 15's WORST non-routed sf10 residue
+    * (16.2× raw). Raw q2 evaluates the 5-way join TWICE — once for the
+    * outer block, once for the correlated min-cost scalar subquery
+    * Catalyst rewrites to a second partsupp⋈supplier⋈nation⋈region
+    * aggregate tree — so partsupp pays two full hash exchanges and the
+    * dimension chain is walked twice. This build collapses both trees
+    * into ONE pass: the size/type-filtered part joins partsupp
+    * bucket-aligned (zero exchange, ~1/250 of partsupp survives), the
+    * EUROPE supplier frame joins the reduced fact by SHUFFLE on the
+    * suppkey (the q5 routing rule: a full dimension is never broadcast
+    * — it grows with sf; shuffling it is scalable and the fact side is
+    * already tiny), and the correlated min becomes a per-partkey
+    * window MIN over the joined frame — rows at the min survive,
+    * exactly the subquery's semantics (ties keep both suppliers, as
+    * the spec requires). Remaining movement: the reduced fact + the
+    * EUROPE suppliers (suppkey shuffle) and the candidate frame's
+    * re-exchange for the window — all sub-linear in partsupp; the
+    * ORDER BY + LIMIT plans as TakeOrdered, no range exchange. Oracle
+    * BYTE-IDENTICAL to `q2_full_min_cost_supplier`'s spec text. */
+  val q2Bucketed: graft.GQuery = graft.GQuery(
+    "q2_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (psTable, ptTable) = partsuppLayout(s, root)
+      val ss = sortedScanSession(s)
+      val pt = ss.table(ptTable)
+        .where(col("p_size") === 15 && col("p_type").like("%BRASS"))
+        .select(col("p_partkey"), col("p_mfgr"))
+      val ps = ss.table(psTable)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+      // bucket-aligned: both scans pre-partitioned on the part key
+      val reduced = ps.join(pt, col("ps_partkey") === col("p_partkey"))
+      val eurNations = ss.read.parquet(s"$root/nation.parquet")
+        .join(broadcast(ss.read.parquet(s"$root/region.parquet")
+          .where(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val eurSupp = ss.read.parquet(s"$root/supplier.parquet")
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"),
+          col("s_address"), col("s_phone"), col("s_comment"), col("n_name"))
+      // both the correlated subquery and the outer block restrict to
+      // EUROPE suppliers, so after this inner join the per-partkey MIN
+      // over the window IS the subquery's min — one pass, not two trees
+      val cand = reduced.join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+      cand
+        .withColumn("min_cost",
+          min(col("ps_supplycost")).over(Window.partitionBy(col("p_partkey"))))
+        .where(col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_mfgr"), col("s_address"), col("s_phone"), col("s_comment"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    graft.tpch.FullTpch.q2Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Second consumer of the [[partsuppLayout]] — and the key the layout
+    * exists for even without a part join: textbook TPC-H Q11
+    * (important stock) GROUPS partsupp on ps_partkey twice — once per
+    * group, once for the 0.0001-fraction scalar total — so raw q11
+    * scans and aggregates partsupp in two separate trees (9.8× at the
+    * sf10 settle, every join already AQE-broadcast: the cost is the
+    * double aggregation, not join strategy — r15 plan audit). Over the
+    * layout the per-part aggregation consumes the bucket partitioning
+    * with ZERO exchange, and the scalar total is DERIVED from the
+    * per-group frame (sum of per-group BIGINT cents sums — exact), so
+    * partsupp is scanned and aggregated ONCE: the frame is persisted
+    * (Caches-tracked, released by the harness per run) and re-read for
+    * the 1-row total that the HAVING crossJoins back as a broadcast
+    * scalar. GERMANY's supplier keys ride a broadcast — bounded by
+    * |supplier|/25 (two ints per row; a deployment at sf ≳ 10⁴ where
+    * one nation's keys outgrow broadcast would shuffle partsupp on the
+    * suppkey instead and re-exchange the 1/25-reduced rows to the
+    * partkey). Oracle BYTE-IDENTICAL to `q11_full_important_stock`'s
+    * spec text. */
+  val q11Bucketed: graft.GQuery = graft.GQuery(
+    "q11_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (psTable, _) = partsuppLayout(s, root)
+      val ss = sortedScanSession(s)
+      val german = ss.read.parquet(s"$root/supplier.parquet")
+        .join(broadcast(ss.read.parquet(s"$root/nation.parquet")
+          .where(col("n_name") === "GERMANY").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val cents = floor(col("ps_supplycost") * col("ps_availqty") * 100 + 0.5)
+        .cast("long")
+      val perPart = graft.Caches.persistTracked(
+        ss.table(psTable)
+          .select(col("ps_partkey"), col("ps_suppkey"), cents.as("cents"))
+          .join(broadcast(german), col("ps_suppkey") === col("s_suppkey"))
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("cents")).as("value_cents")))
+      // re-aggregate the aggregate: the scalar total is the exact sum
+      // of the per-group BIGINT sums — no second partsupp scan
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value_cents").cast("double") >
+          col("total_cents").cast("double") * 0.0001)
+        .select(col("ps_partkey"),
+          (col("value_cents").cast("double") / 100.0).as("value"))
+        .orderBy(desc("value"))
+    },
+    graft.tpch.FullTpch.q11Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Third consumer of the [[partsuppLayout]]: textbook TPC-H Q16
+    * (parts/supplier counts, 10.0× raw at the sf10 settle). Over the
+    * layout the partsupp⋈part join is bucket-aligned (zero exchange —
+    * raw hash-partitions both sides), the NOT IN complaint filter is a
+    * broadcast anti join (the generator's s_suppkey is a non-null PK,
+    * so the null-aware arm of NOT IN can never fire and a plain
+    * left_anti is row-identical — the byte-identical oracle enforces
+    * it), and ONE exchange remains by necessity: the
+    * count(DISTINCT ps_suppkey) grouped on (brand, type, size) has to
+    * move rows to their group — but only the filtered, joined,
+    * 4-narrow-column rows, never raw partsupp. This is the layout
+    * family's honest PARTIAL case: the join exchanges are erased, the
+    * regroup is irreducible (measured arm, dev/BENCH_NOTES round 16).
+    * Oracle BYTE-IDENTICAL to `q16_full_parts_supplier_cnt`. */
+  val q16Bucketed: graft.GQuery = graft.GQuery(
+    "q16_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (psTable, ptTable) = partsuppLayout(s, root)
+      val ss = sortedScanSession(s)
+      val pt = ss.table(ptTable)
+        .where(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").like("MEDIUM POLISHED%") &&
+          col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complainers = ss.read.parquet(s"$root/supplier.parquet")
+        .where(col("s_comment").like("%Customer%Complaints%"))
+        .select(col("s_suppkey"))
+      ss.table(psTable).select(col("ps_partkey"), col("ps_suppkey"))
+        .join(pt, col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(complainers),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+    graft.tpch.FullTpch.q16Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** Compact a parquet directory's files to ~`targetBytes` outputs and

@@ -32,10 +32,13 @@ class BenchFormatSpec extends AnyFunSuite {
     BenchFormat.lines(results, sfNum, n, warm3, loads, stealPct = 1.25)
 
   test("compact line fits the tail window behind a worst-case sbt trailer") {
-    // worst case: every key slow (wide values), n=7 spreads, 5 failures
+    // worst case: every key slow (wide values), n=7 spreads, 5 failures,
+    // a full 8-probe warm_mid vector and a layout_build field
     val wide = keys.map(_ -> Seq(987.65, 991.0, 999.99)).toMap
-    val l = mk(res(wide, failed = keys.take(5).toSet),
-      sfNum = "100", n = 7, warm3 = Seq(99.99, 100.0, 101.55), loads = (31.99, 32.01))
+    val l = BenchFormat.lines(res(wide, failed = keys.take(5).toSet),
+      sfNum = "100", n = 7, warm3 = Seq(99.99, 100.0, 101.55),
+      loads = (31.99, 32.01), stealPct = 1.25,
+      warmMid = Seq.fill(8)(101.55), layoutSec = 999.99)
     assert(l.compact.length + BenchFormat.TrailerWorst + 2 <= BenchFormat.TailWindow,
       s"compact line ${l.compact.length} chars cannot parse behind the sbt trailer")
     // and with generous margin in the realistic case
@@ -66,6 +69,17 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(t.size == 3 && t(0) <= t(1) && t(1) <= t(2), s"$k triple $t")
     }
     assert((compact \ "warm3").asInstanceOf[JArray].arr.size == 3)
+  }
+
+  test("warm_mid and layout_build ride the compact line only when present") {
+    val times = keys.map(_ -> Seq(0.2, 0.25, 0.3)).toMap
+    val without = mk(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1))
+    assert(!without.compact.contains("warm_mid") && !without.compact.contains("layout_build"))
+    val l = BenchFormat.lines(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1),
+      stealPct = 0.1, warmMid = Seq(0.31, 0.29, 0.85), layoutSec = 12.34)
+    val compact = parse(l.compact)
+    assert((compact \ "warm_mid").asInstanceOf[JArray].arr.size == 3)
+    assert((compact \ "layout_build").values.toString.toDouble == 12.34)
   }
 
   test("full line orders queries cheapest-first and hidden bounds exactly the clipped head") {

@@ -25,7 +25,10 @@ class PlanSpec extends SparkSpecBase {
       // 1-row-aggregate cross joins only: the audit's checked-count
       // attach, the per-round census assembly, and the incremental
       // aggregate's scalar cutoff
-      "op_dq_audit", "graph_kcore", "op_incremental_agg", "op_decay_score")
+      "op_dq_audit", "graph_kcore", "op_incremental_agg", "op_decay_score",
+      // q11's HAVING total: the per-group frame crossJoins a broadcast
+      // 1-row re-aggregate of itself (Sinks.q11Bucketed scaladoc)
+      "q11_full_bucketed")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -188,6 +188,71 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q2_full_bucketed: one pass over the layout replaces both correlated trees") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q2_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw q2 exchanges partsupp twice (outer block + the rewritten
+      // min-cost subquery tree); here the ps⋈part join is bucket-
+      // aligned and the surviving exchanges move only the 1/250-reduced
+      // fact, the EUROPE suppliers (shuffled, never broadcast — the q5
+      // routing rule), and the candidate frame's window re-exchange
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 3, s"expected at most fact/supplier/window shuffles, got $shuffles:\n${plan.take(4000)}")
+      // partsupp is scanned ONCE (raw q2 scans it twice)
+      val psScans = "graft_bktfact_ps_partsupp".r.findAllMatchIn(plan).size
+      assert(psScans >= 1, s"expected the bucketed partsupp scan:\n${plan.take(4000)}")
+      // ORDER BY + LIMIT plans as TakeOrdered — no range exchange
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"LIMIT should plan as TakeOrdered:\n${plan.take(4000)}")
+      val expected = Registry.byName("q2_full_min_cost_supplier").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q11_full_bucketed: single partsupp aggregation, scalar total derived, zero hash exchanges") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q11_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // the per-part aggregation consumes the bucket partitioning and
+      // the scalar total re-aggregates the (persisted) per-group frame
+      // — no second partsupp scan, no hash exchange anywhere; the only
+      // movements are the 1-row total's SinglePartition, its broadcast,
+      // and the final ORDER BY range exchange
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 0, s"expected zero hash exchanges, got $shuffles:\n${plan.take(4000)}")
+      // both the HAVING total and the output read the SAME persisted
+      // per-group frame (InMemoryTableScan on both branches) — the
+      // plan string prints the cached partsupp scan under each
+      // InMemoryRelation, but physically partsupp is read once
+      val memoReads = "InMemoryTableScan".r.findAllMatchIn(plan).size
+      assert(memoReads >= 2, s"expected both branches to reuse the persisted per-group frame:\n${plan.take(4000)}")
+      val expected = Registry.byName("q11_full_important_stock").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+      Caches.release()
+    }
+  }
+
+  test("q16_full_bucketed: bucket-aligned join; only the distinct-count regroup moves rows") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q16_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the ps⋈part join is exchange-free; what remains is the
+      // irreducible count(DISTINCT) regroup — Spark plans it as two
+      // aggregation rounds (dedup on (b,t,s,suppkey), then count),
+      // i.e. at most 2 hash exchanges over filtered 4-column rows
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 2, s"expected only the distinct-count regroup, got $shuffles:\n${plan.take(4000)}")
+      // NOT IN rides a broadcast anti join, never a shuffled one
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"complaint filter should be a broadcast anti join:\n${plan.take(4000)}")
+      val expected = Registry.byName("q16_full_parts_supplier_cnt").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val frag = tmp("frag")
