@@ -19,6 +19,7 @@ object Registry {
   lazy val all: Seq[GQuery] =
     tpch.TpchQueries.all ++
       tpch.FullTpch.all ++
+      tpch.TpchRewrites.all ++
       operators.Relational.all ++
       operators.Behavior.all ++
       text.TextAnalysis.all ++

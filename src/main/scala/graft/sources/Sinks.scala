@@ -197,16 +197,22 @@ object Sinks {
       ("part", Seq("p_partkey", "p_type", "p_brand", "p_container"), "p_partkey"))))
 
   /** The PARTSUPP sibling: partsupp + part bucket-sorted on the part
-    * key, serving the partsupp-keyed family that was round 15's entire
-    * remaining ≥8× sf10 residue (q2 16.2×, q11 9.8×, q16 10.0× + v2
-    * siblings — all pay partsupp, or its correlated re-scan, on the
-    * partkey). Column set = union of what `q2_full_bucketed` /
-    * `q11_full_bucketed` / `q16_full_bucketed` read; same
-    * width-costs-write-bytes-only contract as the other layouts
-    * (parquet column pruning keeps each query's scan at its own
-    * projection). Note q11 buckets USE: its grouping key is
-    * ps_partkey, so the bucketed scan feeds its per-part aggregation
-    * exchange-free even though q11 never joins part. */
+    * key, built to test the layout playbook on the partsupp-keyed
+    * family that was round 15's entire remaining ≥8× sf10 residue
+    * (q2 16.2×, q11 9.8×, q16 10.0× + v2 siblings). Column set = union
+    * of what `q2_full_bucketed` / `q11_full_bucketed` /
+    * `q16_full_bucketed` read; same width-costs-write-bytes-only
+    * contract as the other layouts.
+    *
+    * ROUND-16 OUTCOME: all three consumers are measured NEGATIVE arms
+    * at sf10 (interleaved A/Bs + per-node breakdowns in each key's
+    * scaladoc) — partsupp at bench scale is a 100 MB table whose raw
+    * joins AQE-broadcast, so there is no exchange volume for the
+    * layout to erase and the family's residue is aggregation machinery
+    * + per-stage constants. The layout and consumers ship as the
+    * documented boundary of the playbook: clustering pays ∝ erased
+    * exchange volume (q21/q18/q5/q17 erase lineitem-scale exchanges
+    * and win; partsupp-scale tables have none to give). */
   private def partsuppLayout(s: SparkSession, root: String): (String, String) =
     pair(factLayout(s, root, "ps", Seq(
       ("partsupp", Seq("ps_partkey", "ps_suppkey", "ps_availqty",
@@ -497,20 +503,34 @@ object Sinks {
     * (16.2× raw). Raw q2 evaluates the 5-way join TWICE — once for the
     * outer block, once for the correlated min-cost scalar subquery
     * Catalyst rewrites to a second partsupp⋈supplier⋈nation⋈region
-    * aggregate tree — so partsupp pays two full hash exchanges and the
-    * dimension chain is walked twice. This build collapses both trees
-    * into ONE pass: the size/type-filtered part joins partsupp
-    * bucket-aligned (zero exchange, ~1/250 of partsupp survives), the
-    * EUROPE supplier frame joins the reduced fact by SHUFFLE on the
-    * suppkey (the q5 routing rule: a full dimension is never broadcast
-    * — it grows with sf; shuffling it is scalable and the fact side is
-    * already tiny), and the correlated min becomes a per-partkey
+    * aggregate tree. This build collapses both trees into ONE pass:
+    * the size/type-filtered part joins partsupp bucket-aligned, the
+    * EUROPE supplier frame joins the reduced fact without a broadcast
+    * hint (the q5 routing rule: a full dimension is never broadcast by
+    * fiat — at bench sf AQE broadcasts it, at cluster scale the
+    * planner shuffles), and the correlated min becomes a per-partkey
     * window MIN over the joined frame — rows at the min survive,
     * exactly the subquery's semantics (ties keep both suppliers, as
-    * the spec requires). Remaining movement: the reduced fact + the
-    * EUROPE suppliers (suppkey shuffle) and the candidate frame's
-    * re-exchange for the window — all sub-linear in partsupp; the
-    * ORDER BY + LIMIT plans as TakeOrdered, no range exchange. Oracle
+    * the spec requires). ORDER BY + LIMIT plans as TakeOrdered, no
+    * range exchange.
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.233,1.343,1.448,1.454,2.197] vs bucketed
+    * [1.476,1.592,1.645,1.722,2.009] — the layout arm LOSES ~1.2×,
+    * and the per-node metric breakdown (BreakdownMain,
+    * dev/BENCH_NOTES round 16) shows why: at sf10 raw q2's joins are
+    * ALL AQE-broadcast already (filtered part is 7.8k rows, EUROPE
+    * suppliers 20k — there is no partsupp exchange to erase), so the
+    * single-pass rewrite saves only a sub-floor re-aggregation while
+    * paying extra stage boundaries (AQE's late SMJ→BHJ conversions
+    * leave already-executed shuffle stages behind). The residue is
+    * per-stage machinery over two cheap scans (0.34 s + 0.29 s wall of
+    * 8M/2M-row scan+probe), not shuffle volume. Kept as the layout
+    * family's measured negative arm for partsupp-scale tables — the
+    * routing rule gains its third clause: clustering pays ∝ erased
+    * exchange VOLUME, and a table whose joins already broadcast has
+    * none; the crossover is the scale where the dimension outgrows the
+    * broadcast threshold (sf ≳ 10³ for part here). Oracle
     * BYTE-IDENTICAL to `q2_full_min_cost_supplier`'s spec text. */
   val q2Bucketed: graft.GQuery = graft.GQuery(
     "q2_full_bucketed",
@@ -569,7 +589,26 @@ object Sinks {
     * |supplier|/25 (two ints per row; a deployment at sf ≳ 10⁴ where
     * one nation's keys outgrow broadcast would shuffle partsupp on the
     * suppkey instead and re-exchange the 1/25-reduced rows to the
-    * partkey). Oracle BYTE-IDENTICAL to `q11_full_important_stock`'s
+    * partkey).
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [0.691,0.744,0.768,0.820,0.853] vs bucketed
+    * [1.393,1.563,1.571,1.597,1.991] — the derive-the-total arm LOSES
+    * 2×. The r15 plan audit already showed raw q11's joins all
+    * AQE-broadcast; what this A/B adds is that the DOUBLE AGGREGATION
+    * is not the cost either: the GERMANY-filtered per-part agg is
+    * ~320k rows at sf10, so each raw tree is ~0.35 s of per-stage
+    * constants, while the persist arm pays a cache-materialization
+    * job, the InMemoryRelation read on both branches, and a codegen
+    * boundary — more fixed cost than the saved scan (partsupp is
+    * 100 MB; its scan is ~0.1 s). Kept as the measured negative arm:
+    * derive-from-the-aggregate pays only when the re-scanned input
+    * dwarfs the cached frame's materialization cost (true for
+    * lineitem-scale tables, false at partsupp scale). Note q11's sf10
+    * result set is EMPTY in both engines (the spec's fixed 0.0001
+    * fraction outgrows the per-part share as sf rises) — the A/B
+    * measures the aggregation machinery, which both arms execute in
+    * full. Oracle BYTE-IDENTICAL to `q11_full_important_stock`'s
     * spec text. */
   val q11Bucketed: graft.GQuery = graft.GQuery(
     "q11_full_bucketed",
@@ -614,10 +653,23 @@ object Sinks {
     * it), and ONE exchange remains by necessity: the
     * count(DISTINCT ps_suppkey) grouped on (brand, type, size) has to
     * move rows to their group — but only the filtered, joined,
-    * 4-narrow-column rows, never raw partsupp. This is the layout
-    * family's honest PARTIAL case: the join exchanges are erased, the
-    * regroup is irreducible (measured arm, dev/BENCH_NOTES round 16).
-    * Oracle BYTE-IDENTICAL to `q16_full_parts_supplier_cnt`. */
+    * 4-narrow-column rows, never raw partsupp.
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.335,1.502,1.517,1.524,2.107] vs bucketed
+    * [2.339,2.474,2.528,2.610,2.695] — the layout arm LOSES 1.7×. The
+    * per-node breakdown (BreakdownMain, dev/BENCH_NOTES round 16)
+    * attributes q16's whole residue to the distinct-count HASH
+    * AGGREGATION (≈38 s of summed aggTime ≈ 1.2 s wall on 32 cores:
+    * partial dedup of 1.19M (brand,type,size,suppkey) rows, merge,
+    * count rounds), which no layout can erase — and the raw join was
+    * never the cost (AQE broadcasts the 297k-row filtered part; the
+    * bucket-aligned SMJ the layout buys is SLOWER than that broadcast
+    * probe). Kept as the layout family's measured negative arm for
+    * aggregation-bound queries: clustering pays ∝ erased exchange
+    * volume, and q16's only exchanges are the regroup the query's
+    * semantics require. Oracle BYTE-IDENTICAL to
+    * `q16_full_parts_supplier_cnt`. */
   val q16Bucketed: graft.GQuery = graft.GQuery(
     "q16_full_bucketed",
     (s, dir) => {

@@ -27,8 +27,9 @@ class PlanSpec extends SparkSpecBase {
       // aggregate's scalar cutoff
       "op_dq_audit", "graph_kcore", "op_incremental_agg", "op_decay_score",
       // q11's HAVING total: the per-group frame crossJoins a broadcast
-      // 1-row re-aggregate of itself (Sinks.q11Bucketed scaladoc)
-      "q11_full_bucketed")
+      // 1-row re-aggregate of itself (Sinks.q11Bucketed scaladoc);
+      // q22's rewrite crossJoins its broadcast 1-row avg the same way
+      "q11_full_bucketed", "q22_full_anti_rewrite")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
