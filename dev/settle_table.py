@@ -45,27 +45,42 @@ def main(outdir, accept_log=None):
             cands = [(last_compact(p), p) for p in tries]
             cands = [(c, p) for c, p in cands if c]
             if not cands:
-                rows.append((k, None, status)); continue
+                rows.append((k, None, status, [])); continue
             pick = min(cands, key=lambda cp: cp[0].get("warm", 99))[0]
             status = "ok" if pick.get("health", "") == "accepted" else "REJECTED"
-        rows.append((k, pick, status))
-    print("| key | sf10 [min,med,max] | warm | steal | duck | ratio | adj | status |")
+        # duck seconds observed across ALL parsable tries of this key
+        # (r15 verdict #6: a single-run duck column inherits baseline
+        # wobble — q21_v2's DuckDB side ranged 1.26-3.10 s across
+        # accepted windows; median-of-tries + band makes the noise
+        # visible instead of silently mis-ranking the ratio)
+        ducks = []
+        for p in tries:
+            c = last_compact(p)
+            if not c:
+                continue
+            d, s = c.get("duck") or {}, c.get("slow", {}).get(k)
+            if d.get("n") == 1 and d.get("geo") and s:
+                ducks.append(s[0] / d["geo"])  # geo = spark_min/duck for n==1
+        rows.append((k, pick, status, sorted(ducks)))
+    print("| key | sf10 [min,med,max] | warm | steal | duck med [band] | ratio | adj | status |")
     print("| --- | --- | --- | --- | --- | --- | --- | --- |")
-    for k, c, status in rows:
+    for k, c, status, ducks in rows:
         if c is None:
             print(f"| {k} | no line | | | | | | {status} |")
             continue
         slow = c.get("slow", {}).get(k)
         trip = ",".join(f"{t:g}" for t in slow) if slow else "?"
-        duck = c.get("duck") or {}
-        dn = duck.get("n", 0)
         spark_min = slow[0] if slow else None
         dsec = ratio = adj = ""
-        if dn == 1 and spark_min is not None:
-            r = duck.get("geo")
-            ratio = f"{r:g}"
-            dsec = f"{spark_min / r:.2f}" if r else ""
-            adj = f"{duck.get('adj'):g}" if duck.get("adj") is not None else ""
+        if ducks and spark_min is not None:
+            dmed = ducks[len(ducks) // 2]
+            dsec = f"{dmed:.2f}"
+            if len(ducks) > 1 and ducks[-1] > ducks[0] * 1.05:
+                dsec += f" [{ducks[0]:.2f},{ducks[-1]:.2f}]"
+            ratio = f"{spark_min / dmed:.2f}"
+            floor = c.get("floor")
+            if floor is not None:
+                adj = f"{max(spark_min - floor, 0.005) / dmed:.2f}"
         print(f"| {k} | [{trip}] | {c.get('warm')} | {c.get('steal')} "
               f"| {dsec} | {ratio} | {adj} | {status} |")
 
