@@ -34,7 +34,9 @@ object Registry {
         sources.Sinks.q18Bucketed, sources.Sinks.q14Bucketed,
         sources.Sinks.q5Bucketed, sources.Sinks.q17Bucketed,
         sources.Sinks.q2Bucketed, sources.Sinks.q11Bucketed,
-        sources.Sinks.q16Bucketed,
+        sources.Sinks.q16Bucketed, sources.Sinks.q3Bucketed,
+        sources.Sinks.q4Bucketed, sources.Sinks.q12Bucketed,
+        sources.Sinks.q13Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune) ++
       pipeline.TrainingData.all

@@ -154,14 +154,16 @@ object Sinks {
   private def orderkeyLayout(s: SparkSession, root: String): (String, String) =
     pair(factLayout(s, root, "ok", Seq(
       // column set = union of what the serving family (q21/q18/q5
-      // bucketed) reads; widening it (q5 added extendedprice+discount,
-      // round 15) costs only layout-write bytes — every query's scan
-      // stays as narrow as its own projection (parquet column pruning)
+      // bucketed, + q3/q4/q12 round 16) reads; widening it costs only
+      // layout-write bytes — every query's scan stays as narrow as its
+      // own projection (parquet column pruning)
       ("lineitem", Seq("l_orderkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
-        "l_receiptdate", "l_commitdate"), "l_orderkey"),
+        "l_receiptdate", "l_commitdate", "l_shipdate", "l_shipmode"),
+        "l_orderkey"),
       ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate"), "o_orderkey"))))
+        "o_totalprice", "o_orderdate", "o_shippriority", "o_orderpriority"),
+        "o_orderkey"))))
 
   private def pair(ts: Seq[String]): (String, String) = (ts.head, ts(1))
 
@@ -179,6 +181,7 @@ object Sinks {
     orderkeyLayout(s, root)
     partkeyLayout(s, root)
     partsuppLayout(s, root)
+    custkeyLayout(s, root)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -496,6 +499,191 @@ object Sinks {
           .cast("double") / 100.0 / 7.0, 2).as("avg_yearly"))
     },
     graft.tpch.FullTpch.q17Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** The CUSTKEY layout: orders + customer bucket-sorted on the
+    * customer key, serving the custkey-joined family (`q13_full_
+    * bucketed`). Orders carries its comment column here — q13's NOT
+    * LIKE lives inside the outer-join condition, so the raw plan
+    * shuffles 15M rows WITH the ~50-byte comment attached; the layout
+    * pays that width once at write time and never moves it again. */
+  private def custkeyLayout(s: SparkSession, root: String): (String, String) =
+    pair(factLayout(s, root, "ck", Seq(
+      ("orders", Seq("o_custkey", "o_orderkey", "o_comment"), "o_custkey"),
+      ("customer", Seq("c_custkey"), "c_custkey"))))
+
+  /** Fourth consumer of the shared [[orderkeyLayout]]: textbook TPC-H
+    * Q3 (shipping priority), 6.55× raw at the sf10 settle — raw
+    * hash-partitions AND sorts the date-filtered halves of BOTH fact
+    * tables (≈30M lineitem + 7M orders rows at sf10) for the orderkey
+    * join, then exchanges again toward customer. Over the layout the
+    * fact join streams the co-bucketed scans exchange-free, the
+    * BUILDING filter arrives as a broadcast SEMI of the customer KEY
+    * column only (the segment filter is the customer table's whole
+    * contribution — no output column comes from it; ~300k longs at
+    * sf10, linear in sf like q11's GERMANY keys, same documented
+    * shuffle fallback), and the GROUP BY (l_orderkey, o_orderdate,
+    * o_shippriority) — a superset of the bucket key — aggregates
+    * exchange-free too; ORDER BY + LIMIT 10 is TakeOrdered. The
+    * executed plan moves NOTHING but broadcasts (spec pins zero hash
+    * exchanges).
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.498,1.547,1.603,1.648,12.0-outlier] vs bucketed
+    * [1.489,1.852,1.872,2.044,2.639] — PARITY at the min, ~1.2× loss
+    * at the median. On THIS box (local[32]) an erased exchange is an
+    * erased page-cache round trip, so removing ~1 GB of fact movement
+    * buys little against the join/aggregate compute both arms share;
+    * on a network cluster the same erased bytes are the dominant cost,
+    * which is why the arm ships despite local parity — the 100 TB
+    * contract is the erased movement, measured in the plan, not the
+    * local wall delta. Oracle BYTE-IDENTICAL to
+    * `q3_full_shipping_priority`'s spec text. */
+  val q3Bucketed: graft.GQuery = graft.GQuery(
+    "q3_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val building = ss.read.parquet(s"$root/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = ss.table(orTable)
+        .where(col("o_orderdate") < lit("1995-03-15").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_shippriority"))
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_semi")
+      val li = ss.table(liTable)
+        .where(col("l_shipdate") > lit("1995-03-15").cast("date"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_shippriority"))
+        .agg((sum(cents).cast("double") / 100.0).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate"), col("o_shippriority"))
+        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    graft.tpch.FullTpch.q3Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Fifth consumer of the shared [[orderkeyLayout]]: textbook TPC-H Q4
+    * (order priority), 7.09× raw at the sf10 settle — raw answers the
+    * EXISTS with a left-semi SMJ that hash-partitions the quarter of
+    * orders AND the late half of lineitem. Over the layout BOTH sides
+    * arrive bucket-partitioned and bucket-sorted, so the semi join is
+    * exchange-free and sort-free; the only movement left is the 5-group
+    * priority rollup (spec pins exactly one hash exchange).
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.178,1.340,1.366,1.366,1.387] vs bucketed
+    * [0.883,0.943,1.191,1.237,1.303] — a 1.33× win at the min (erased
+    * fact sorts, not just exchanges — the sort work is real CPU on any
+    * topology). Oracle BYTE-IDENTICAL to `q4_full_order_priority`'s
+    * spec text. */
+  val q4Bucketed: graft.GQuery = graft.GQuery(
+    "q4_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val ord = ss.table(orTable)
+        .where(col("o_orderdate") >= lit("1993-07-01").cast("date") &&
+          col("o_orderdate") < lit("1993-10-01").cast("date"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val late = ss.table(liTable)
+        .where(col("l_commitdate") < col("l_receiptdate"))
+        .select(col("l_orderkey"))
+      ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    graft.tpch.FullTpch.q4Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Sixth consumer of the shared [[orderkeyLayout]]: textbook TPC-H
+    * Q12 (priority class), 6.25× raw at the sf10 settle — the
+    * shipmode/date filters keep only ~4% of lineitem, but orders is
+    * UNFILTERED, so the raw join hash-partitions all 15M orders rows
+    * (too big to broadcast, too big to skip). Over the layout the join
+    * streams both bucket-sorted scans exchange-free; the only movement
+    * is the 2-group shipmode rollup (spec pins exactly one hash
+    * exchange).
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.200,1.209,1.261,1.285,1.403] vs bucketed
+    * [1.002,1.094,1.147,1.253,1.413] — a 1.2× win at the min (the
+    * erased 15M-row orders exchange + sort). Oracle BYTE-IDENTICAL to
+    * `q12_full_priority_class`'s spec text. */
+  val q12Bucketed: graft.GQuery = graft.GQuery(
+    "q12_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable)
+        .where(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1994-01-01").cast("date") &&
+          col("l_receiptdate") < lit("1995-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_shipmode"))
+      val ord = ss.table(orTable).select(col("o_orderkey"), col("o_orderpriority"))
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_shipmode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_shipmode"))
+    },
+    graft.tpch.FullTpch.q12Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Sole consumer of the [[custkeyLayout]]: textbook TPC-H Q13
+    * (customer distribution), 6.13× raw at the sf10 settle — the raw
+    * plan's dominant movement is the outer join's orders exchange,
+    * which carries the ~50-byte o_comment on every one of 15M rows
+    * because the spec's NOT LIKE lives INSIDE the join condition. Over
+    * the custkey layout the left-outer join (comment predicate and
+    * all) streams the co-bucketed scans exchange-free, and the
+    * per-customer count aggregates the bucket key exchange-free too;
+    * what remains is the ≤|distinct c_count|-row distribution rollup
+    * (spec pins exactly one hash exchange).
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.580,1.593,1.596,1.597,1.656] vs bucketed
+    * [1.511,1.556,1.626,1.636,1.744] — PARITY on this box. Like q3's
+    * verdict: the erased ~900 MB comment-carrying exchange is a
+    * page-cache round trip under local[32], while the 15M-row
+    * outer-join + two-aggregate compute (which both arms share)
+    * dominates the wall; on a network cluster the erased bytes are the
+    * dominant term, which is the contract the arm ships on. Oracle
+    * BYTE-IDENTICAL to `q13_full_customer_distribution`'s spec text. */
+  val q13Bucketed: graft.GQuery = graft.GQuery(
+    "q13_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (orTable, cuTable) = custkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val cust = ss.table(cuTable)
+      val ord = ss.table(orTable)
+      cust.join(ord,
+        col("c_custkey") === col("o_custkey") &&
+          !col("o_comment").like("%special%requests%"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    graft.tpch.FullTpch.q13Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** First consumer of the [[partsuppLayout]]: textbook TPC-H Q2

@@ -82,5 +82,61 @@ object TpchRewrites {
     FullTpch.q22Full.oracle,
     tags = Set("tpch_full"))
 
-  def all: Seq[GQuery] = Seq(q22Rewrite)
+  /** Textbook TPC-H Q15 rewritten around its measured double scan.
+    *
+    * The spec defines the `revenue` view and then selects the supplier
+    * whose total equals `(SELECT max(total_revenue) FROM revenue)` —
+    * Catalyst evaluates the view TWICE (once for the FROM, once for
+    * the scalar subquery), so raw q15 scans and aggregates the
+    * 3-month slice of lineitem two full times (4.86× at the sf10
+    * settle, the suite's worst duck ratio in the r16 canonical line's
+    * duck column). This is the exact situation where the
+    * derive-from-the-aggregate pattern PAYS (contrast q11_full_bucketed,
+    * where it lost because partsupp is 100 MB): the per-supplier
+    * revenue frame is computed ONCE, persisted (Caches-tracked,
+    * released by the harness per run), and reused for both the scalar
+    * max (a broadcast 1-row re-aggregate) and the winner selection —
+    * halving the dominant lineitem scan+aggregate. The winner set
+    * (suppliers at the max — ties legal per spec) broadcasts into a
+    * map-only join against supplier. Exact-equality join on
+    * total_revenue is sound: both sides are the SAME persisted frame's
+    * cents-discretized doubles.
+    *
+    * MEASURED VERDICT (round 16, interleaved same-JVM sf10 A/B, 5
+    * rounds): raw [1.057,1.063,1.088,1.189,1.352] vs rewrite
+    * [0.804,0.828,0.846,0.853,1.130] — a consistent 1.31× win,
+    * confirming the scale rule from the q11 negative: persist pays
+    * when the saved recompute (a 60M-row lineitem scan + aggregate)
+    * dwarfs the cache materialization (a ~100k-row frame). Oracle
+    * BYTE-IDENTICAL to `q15_full_top_supplier`'s spec text (view as
+    * CTE). */
+  val q15Rewrite: GQuery = GQuery(
+    "q15_full_view_reuse",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = FullTpch.ensurePersisted(s, TpchGen.sfFromDir(dir))
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        .cast("long")
+      val revenue = graft.Caches.persistTracked(
+        s.read.parquet(s"$root/lineitem.parquet")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1996-04-01").cast("date"))
+          .groupBy(col("l_suppkey"))
+          .agg((sum(cents).cast("double") / 100.0).as("total_revenue"))
+          .withColumnRenamed("l_suppkey", "supplier_no"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+      val winners = revenue.crossJoin(broadcast(maxRev))
+        .where(col("total_revenue") === col("max_rev"))
+        .select(col("supplier_no"), col("total_revenue"))
+      s.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_address"), col("s_phone"))
+        .join(broadcast(winners), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("s_address"),
+          col("s_phone"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    FullTpch.q15Full.oracle,
+    tags = Set("tpch_full"))
+
+  def all: Seq[GQuery] = Seq(q22Rewrite, q15Rewrite)
 }

@@ -253,6 +253,66 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q3_full_bucketed: fact join, semi filter, and rollup all ride the bucket partitioning") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q3_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw q3 hash-partitions both date-filtered fact halves and
+      // re-exchanges toward customer; over the layout the fact join is
+      // bucket-aligned, BUILDING arrives as a broadcast key-only semi,
+      // and the GROUP BY (superset of the bucket key) aggregates in
+      // place — zero hash exchanges, TakeOrdered for the LIMIT
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles == 0, s"expected zero hash exchanges, got $shuffles:\n${plan.take(4000)}")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"LIMIT should plan as TakeOrdered:\n${plan.take(4000)}")
+      val expected = Registry.byName("q3_full_shipping_priority").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q4_full_bucketed: the EXISTS semi join is exchange-free; only the rollup moves") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q4_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 1, s"expected only the 5-group rollup, got $shuffles:\n${plan.take(4000)}")
+      val expected = Registry.byName("q4_full_order_priority").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q12_full_bucketed: unfiltered orders streams the bucket scan; only the rollup moves") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q12_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 1, s"expected only the shipmode rollup, got $shuffles:\n${plan.take(4000)}")
+      val expected = Registry.byName("q12_full_priority_class").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q13_full_bucketed: comment-predicate outer join and per-customer count ride the custkey bucketing") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q13_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // raw q13 moves 15M comment-carrying orders rows through an
+      // exchange; over the layout the left-outer join (NOT LIKE inside
+      // the condition) and the per-customer count are bucket-aligned —
+      // the only exchange is the c_count distribution rollup
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 1, s"expected only the distribution rollup, got $shuffles:\n${plan.take(4000)}")
+      assert(plan.contains("LeftOuter"), s"outer join missing:\n${plan.take(4000)}")
+      val expected = Registry.byName("q13_full_customer_distribution").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val frag = tmp("frag")

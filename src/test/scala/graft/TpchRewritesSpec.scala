@@ -32,4 +32,30 @@ class TpchRewritesSpec extends SparkSpecBase {
       assert(df.collect().toSeq == expected.collect().toSeq)
     }
   }
+
+  test("q15_full_view_reuse: the revenue view is computed once and reused for max and winners") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q15_full_view_reuse").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // raw q15 evaluates the revenue view twice (FROM + scalar max
+      // subquery) — two lineitem scans and two suppkey aggregations;
+      // the rewrite persists the per-supplier frame and both branches
+      // read the cache
+      val memoReads = "InMemoryTableScan".r.findAllMatchIn(plan).size
+      assert(memoReads >= 2, s"expected both branches on the persisted revenue frame:\n${plan.take(4000)}")
+      // the one real exchange is the suppkey aggregation inside the
+      // cached plan; winners broadcast into a map-only supplier join.
+      // The plan STRING prints the cached subtree (and its exchange)
+      // under every InMemoryRelation occurrence, so the textual count
+      // is ≤ the number of cache readers — physically it runs once
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= memoReads,
+        s"expected only the cached suppkey aggregation's printouts, got $shuffles:\n${plan.take(4000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"winner join should broadcast:\n${plan.take(4000)}")
+      val expected = Registry.byName("q15_full_top_supplier").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+      Caches.release()
+    }
+  }
 }
