@@ -36,7 +36,8 @@ object Registry {
         sources.Sinks.q2Bucketed, sources.Sinks.q11Bucketed,
         sources.Sinks.q16Bucketed, sources.Sinks.q3Bucketed,
         sources.Sinks.q4Bucketed, sources.Sinks.q12Bucketed,
-        sources.Sinks.q13Bucketed,
+        sources.Sinks.q13Bucketed, sources.Sinks.q7Bucketed,
+        sources.Sinks.q10Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune) ++
       pipeline.TrainingData.all

@@ -159,7 +159,8 @@ object Sinks {
       // own projection (parquet column pruning)
       ("lineitem", Seq("l_orderkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
-        "l_receiptdate", "l_commitdate", "l_shipdate", "l_shipmode"),
+        "l_receiptdate", "l_commitdate", "l_shipdate", "l_shipmode",
+        "l_returnflag"),
         "l_orderkey"),
       ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_shippriority", "o_orderpriority"),
@@ -643,6 +644,126 @@ object Sinks {
         .orderBy(col("l_shipmode"))
     },
     graft.tpch.FullTpch.q12Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Seventh consumer of the shared [[orderkeyLayout]]: textbook TPC-H
+    * Q7 (volume shipping) — the same plan family as q5 (round 15's
+    * 1.7× layout win): raw hash-partitions AND sorts the 2-year slice
+    * of lineitem (~17M rows at sf10) and all of orders for the fact
+    * join, then exchanges again toward customer. Over the layout the
+    * fact join is exchange-free; supplier (narrow, nation-pair-
+    * filtered) rides a broadcast over the reduced fact exactly as in
+    * q5, the customer join SHUFFLES the pair-reduced fact (never a
+    * full-dimension broadcast — the q5 routing rule), and both nation
+    * lookups are pre-filtered to the FRANCE/GERMANY pair (a legal
+    * pushdown: every disjunct of the pair predicate requires both
+    * nations in the pair) with the exact pair filter applied after the
+    * joins.
+    *
+    * MEASURED VERDICT (round 16, two interleaved same-JVM sf10 A/Bs of
+    * 5 rounds): bucketed wins in both windows — mins 2.049 vs raw
+    * 2.536, and in the quieter re-run a tight [2.490,2.493,2.496] vs
+    * raw [2.752,2.837,3.377] — a consistent 1.1-1.25× win (the erased
+    * 17M-row fact exchange + sorts). Oracle BYTE-IDENTICAL to
+    * `q7_full_volume_shipping`'s spec text. */
+  val q7Bucketed: graft.GQuery = graft.GQuery(
+    "q7_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val pairNations = ss.read.parquet(s"$root/nation.parquet")
+        .where(col("n_name").isin("FRANCE", "GERMANY"))
+        .select(col("n_nationkey"), col("n_name"))
+      val li = ss.table(liTable)
+        .where(col("l_shipdate").between(
+          lit("1995-01-01").cast("date"), lit("1996-12-31").cast("date")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("volume_cents"))
+      val ord = ss.table(orTable).select(col("o_orderkey"), col("o_custkey"))
+      val fact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val supp = ss.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(pairNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = ss.read.parquet(s"$root/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(pairNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      fact.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("volume_cents")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    graft.tpch.FullTpch.q7Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Eighth consumer of the shared [[orderkeyLayout]]: textbook TPC-H
+    * Q10 (returned items) — raw hash-partitions AND sorts the R-flagged
+    * quarter of lineitem (~15M rows at sf10) and orders for the fact
+    * join, then exchanges the joined frame toward customer and groups
+    * on seven customer attributes. Over the layout the fact join is
+    * exchange-free, and the q18 rewrite discipline applies: revenue is
+    * aggregated per o_custkey BEFORE the customer join (o_custkey
+    * functionally determines every grouped customer column through the
+    * 1:1 c_custkey join, so the spec's post-join GROUP BY collapses
+    * nothing the pre-join rollup didn't), the per-customer frame's own
+    * exchange doubles as the join partitioning (only customer
+    * re-shuffles), nation broadcasts, and LIMIT 20 is TakeOrdered.
+    * MEASURED VERDICT (round 16, two interleaved same-JVM sf10 A/Bs of
+    * 5 rounds): raw wins consistently in both windows (mins 1.818 /
+    * 1.674 vs bucketed 2.192 / 2.038 — a ~1.2× LOSS). The q14 rule
+    * applies from the orders side: the pushed quarter filter leaves
+    * only ~3.6% of orders, so the join output is small and the erased
+    * fact movement is mostly the R-flagged lineitem exchange — a
+    * page-cache round trip locally — while the arm PAYS a real extra
+    * aggregation round (the pre-join rollup) and the full-table
+    * bucket-granular lineitem read. Kept as a measured negative arm:
+    * pre-join rollups pay only when the join side being avoided is
+    * LARGE relative to the rollup input (q18's HAVING rollup yes,
+    * q10's quarter slice no).
+    *
+    * Oracle BYTE-IDENTICAL to `q10_full_returned_items`' spec text. */
+  val q10Bucketed: graft.GQuery = graft.GQuery(
+    "q10_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      val li = ss.table(liTable)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long").as("cents"))
+      val ord = ss.table(orTable)
+        .where(col("o_orderdate") >= lit("1993-10-01").cast("date") &&
+          col("o_orderdate") < lit("1994-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val cust = ss.read.parquet(s"$root/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_address"), col("c_phone"), col("c_comment"), col("c_nationkey"))
+      val nation = ss.read.parquet(s"$root/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      perCust.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_address"),
+          col("c_phone"), col("c_comment"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+    graft.tpch.FullTpch.q10Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** Sole consumer of the [[custkeyLayout]]: textbook TPC-H Q13

@@ -313,6 +313,40 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q7_full_bucketed: fact join rides the layout; only the reduced fact, customer, and rollup move") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q7_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // same routing as q5: fact join exchange-free, supplier+nations
+      // broadcast, customer shuffled against the pair-reduced fact,
+      // plus the 12-group rollup
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 3, s"expected at most fact/customer/rollup shuffles, got $shuffles:\n${plan.take(4000)}")
+      assert(!plan.contains("Sort [l_orderkey"),
+        s"the bucket-ordered fact join re-sorted:\n${plan.take(4000)}")
+      val expected = Registry.byName("q7_full_volume_shipping").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
+  test("q10_full_bucketed: per-custkey rollup before the customer join; fact join exchange-free") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q10_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // movements: per-custkey rollup exchange (reduced fact), customer
+      // shuffle into that partitioning; nation broadcasts; LIMIT 20 is
+      // TakeOrdered
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 3, s"expected at most rollup/customer shuffles, got $shuffles:\n${plan.take(4000)}")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"LIMIT should plan as TakeOrdered:\n${plan.take(4000)}")
+      val expected = Registry.byName("q10_full_returned_items").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val frag = tmp("frag")
