@@ -39,7 +39,7 @@ object Registry {
         sources.Sinks.q13Bucketed, sources.Sinks.q7Bucketed,
         sources.Sinks.q10Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
-        sources.Sinks.partitionPrune) ++
+        sources.Sinks.partitionPrune, sources.Sinks.bloomFilterJoin) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

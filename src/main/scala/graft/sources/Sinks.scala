@@ -1290,6 +1290,56 @@ object Sinks {
     // overhead against a 12 ms flat scan, not engine against engine
     tags = Set("sinks", "duckNotComparable"))
 
+  /** Registry key demonstrating RUNTIME BLOOM-FILTER pushdown — the
+    * scan-reduction sibling of [[partitionPrune]] for tables with NO
+    * partition layout: a large fact shuffle-joined to a selectively-
+    * filtered dimension gets a `bloom_filter_agg` built on the dim's
+    * join keys at runtime and a `might_contain` probe INJECTED into
+    * the fact side's scan filter (Catalyst's InjectRuntimeFilter), so
+    * non-matching fact rows die at the scan — BEFORE the exchange —
+    * at the join's selectivity. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~1%
+    * that can possibly join, with zero layout preparation. The
+    * sub-session pins the thresholds the feature gates on (the
+    * 10 GB application-side default exists because the filter only
+    * pays on big scans — exactly the 100 TB case; bench scale needs
+    * it lowered to demonstrate the plan) and disables auto-broadcast
+    * (a broadcast join already prunes at the probe; the bloom filter
+    * is the SHUFFLE join's equivalent). SinksSpec pins the
+    * `might_contain` probe in the executed fact scan; the oracle
+    * replays the same join+rollup in DuckDB — the filter must drop no
+    * row and keep no extra. */
+  val bloomFilterJoin: graft.GQuery = graft.GQuery(
+    "op_bloom_filter_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = Tables.orders(ss, dir)
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate") < lit("1995-02-01").cast("date") &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      val li = Tables.lineitem(ss, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("price_cents"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-02-01'
+        AND o_totalprice > 150000.0"""),
+    tags = Set("sinks"))
+
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it
     * in production paths). */

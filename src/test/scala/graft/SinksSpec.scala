@@ -347,6 +347,21 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("op_bloom_filter_join: a runtime bloom probe is injected into the fact scan") {
+    val df = Registry.byName("op_bloom_filter_join").build(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // InjectRuntimeFilter builds bloom_filter_agg on the filtered dim
+    // keys and plants might_contain on the fact side BEFORE the
+    // exchange — the scan-reduction path for unpartitioned tables
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"expected a runtime bloom probe on the fact side:\n${plan.take(4000)}")
+    assert(plan.toLowerCase.contains("bloom_filter_agg") ||
+      plan.contains("ObjectHashAggregate"),
+      s"expected the bloom build on the dim side:\n${plan.take(4000)}")
+    // and it must not change the answer
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
   test("compactParquet collapses a fragmented directory to size-targeted files, row-for-row") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val frag = tmp("frag")
