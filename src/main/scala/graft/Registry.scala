@@ -37,7 +37,7 @@ object Registry {
         sources.Sinks.q16Bucketed, sources.Sinks.q3Bucketed,
         sources.Sinks.q4Bucketed, sources.Sinks.q12Bucketed,
         sources.Sinks.q13Bucketed, sources.Sinks.q7Bucketed,
-        sources.Sinks.q10Bucketed,
+        sources.Sinks.q10Bucketed, sources.Sinks.q20Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune, sources.Sinks.bloomFilterJoin) ++
       pipeline.TrainingData.all

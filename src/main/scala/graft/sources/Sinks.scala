@@ -194,11 +194,13 @@ object Sinks {
     * bucketing its joins consume. */
   private def partkeyLayout(s: SparkSession, root: String): (String, String) =
     pair(factLayout(s, root, "pk", Seq(
-      // q17 (round 15) added l_quantity / p_brand / p_container — same
-      // width-vs-pruning tradeoff as the orderkey layout
-      ("lineitem", Seq("l_partkey", "l_quantity", "l_extendedprice",
-        "l_discount", "l_shipdate"), "l_partkey"),
-      ("part", Seq("p_partkey", "p_type", "p_brand", "p_container"), "p_partkey"))))
+      // q17 (round 15) added l_quantity / p_brand / p_container; q20
+      // (round 16) added l_suppkey / p_name — same width-vs-pruning
+      // tradeoff as the orderkey layout
+      ("lineitem", Seq("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate"), "l_partkey"),
+      ("part", Seq("p_partkey", "p_name", "p_type", "p_brand",
+        "p_container"), "p_partkey"))))
 
   /** The PARTSUPP sibling: partsupp + part bucket-sorted on the part
     * key, built to test the layout playbook on the partsupp-keyed
@@ -764,6 +766,88 @@ object Sinks {
         .limit(20)
     },
     graft.tpch.FullTpch.q10Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Cross-LAYOUT consumer (partkey + partsupp layouts): textbook
+    * TPC-H Q20 (excess suppliers), 5.63× raw at the sf10 settle — raw
+    * pays (a) an 8.5M-row hash exchange + sort for the correlated
+    * half-of-shipped-quantity aggregate Catalyst rewrites to a
+    * (l_partkey, l_suppkey) GROUP BY, and (b) a partsupp exchange for
+    * the IN-chain join. Over the layouts both vanish: the lineitem
+    * aggregate's grouping keys are a SUPERSET of the partkey bucket
+    * key (hash partitioning on a subset satisfies the clustered
+    * distribution), and the partsupp⋈forest-parts semi plus the
+    * ps⋈half-sum join are co-bucketed across the two catalog layouts
+    * (same bucket count, same key — only bucket-LOCAL (partkey,
+    * suppkey) sorts remain, never an exchange). NULL semantics of the
+    * spec's `ps_availqty > (SELECT 0.5*sum(...))` — a ps row whose
+    * correlated slice is empty compares against NULL and drops — are
+    * preserved by the INNER join against the aggregated frame (absent
+    * group = dropped row). The eligible-supplier key set then
+    * semi-joins CANADA suppliers (AQE broadcasts the small set).
+    *
+    * MEASURED VERDICT (round 16, two interleaved same-JVM sf10 A/B
+    * arms): raw wins decisively — raw [1.373,...] vs arm 1 (full-agg)
+    * [2.981,...] and arm 2 (forest-semi-reduced agg, shipped)
+    * [3.263,...], a ~2.4× LOSS. The per-node breakdown places the cost
+    * on the half-sum side's SCAN: the correlated aggregate must decode
+    * all 60M lineitem rows whichever layout serves it (the date filter
+    * selects 15% scattered through every row group), so the layout
+    * erases only a ~180k-row agg exchange that raw's own plan already
+    * reduces via a broadcast forest semi — nothing to win, while the
+    * bucket-granular scan and the co-bucketed merge machinery cost
+    * extra. Completes the layout boundary set: clustering cannot help
+    * a consumer whose cost is FULL-TABLE DECODE rather than movement.
+    * Oracle BYTE-IDENTICAL to `q20_full_excess_suppliers`' spec
+    * text. */
+  val q20Bucketed: graft.GQuery = graft.GQuery(
+    "q20_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, ptTable) = partkeyLayout(s, root)
+      val (psTable, _) = partsuppLayout(s, root)
+      val ss = sortedScanSession(s)
+      // the ps⋈half-sum join keys are (partkey, suppkey) while both
+      // sides arrive hash-partitioned on partkey alone — a valid
+      // subset co-partitioning (equal partkeys ⇒ co-located rows) that
+      // EnsureRequirements only accepts with the all-cluster-keys
+      // requirement relaxed; sortedScanSession returns a fresh
+      // session, so the conf is scoped to this key
+      ss.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val forest = ss.table(ptTable)
+        .where(col("p_name").like("forest%")).select(col("p_partkey"))
+      // semi-reduce lineitem to forest partkeys BEFORE aggregating —
+      // bucket-aligned, exchange-free, and it shrinks the aggregate's
+      // group count ~25× (the correlated sum is only ever consumed for
+      // forest×partsupp pairs, which the ps-side semi already
+      // restricts, so dropping the other groups changes no row); the
+      // first measured arm aggregated ALL of 1994 lineitem into ~6M
+      // groups and paid their merge-join sort — 2.1× WORSE than raw
+      // (dev/BENCH_NOTES round 16)
+      val halfSum = ss.table(liTable)
+        .where(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+          col("l_shipdate") < lit("1995-01-01").cast("date"))
+        .join(forest, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(col("l_quantity")) * 0.5).as("half_qty"))
+      val eligible = ss.table(psTable)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_availqty"))
+        .join(forest, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(halfSum, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty") > col("half_qty"))
+        .select(col("ps_suppkey")).distinct()
+      ss.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_address"), col("s_nationkey"))
+        .join(broadcast(ss.read.parquet(s"$root/nation.parquet")
+          .where(col("n_name") === "CANADA").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_address"))
+        .orderBy(col("s_name"))
+    },
+    graft.tpch.FullTpch.q20Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** Sole consumer of the [[custkeyLayout]]: textbook TPC-H Q13

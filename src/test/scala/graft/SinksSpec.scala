@@ -347,6 +347,23 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q20_full_bucketed: cross-layout co-bucketed joins; only the suppkey distinct moves") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q20_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the (l_partkey, l_suppkey) aggregate consumes the partkey
+      // bucketing (subset partitioning satisfies the clustering), and
+      // the ps⋈forest semi + ps⋈half-sum joins are co-bucketed across
+      // the partkey and partsupp layouts — movements left: the
+      // eligible-suppkey distinct and the final supplier semi
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 3, s"expected only suppkey-side movements, got $shuffles:\n${plan.take(4000)}")
+      val expected = Registry.byName("q20_full_excess_suppliers").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("op_bloom_filter_join: a runtime bloom probe is injected into the fact scan") {
     val df = Registry.byName("op_bloom_filter_join").build(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
