@@ -38,6 +38,7 @@ object Registry {
         sources.Sinks.q4Bucketed, sources.Sinks.q12Bucketed,
         sources.Sinks.q13Bucketed, sources.Sinks.q7Bucketed,
         sources.Sinks.q10Bucketed, sources.Sinks.q20Bucketed,
+        sources.Sinks.q9Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
         sources.Sinks.partitionPrune, sources.Sinks.bloomFilterJoin) ++
       pipeline.TrainingData.all

@@ -195,10 +195,11 @@ object Sinks {
   private def partkeyLayout(s: SparkSession, root: String): (String, String) =
     pair(factLayout(s, root, "pk", Seq(
       // q17 (round 15) added l_quantity / p_brand / p_container; q20
-      // (round 16) added l_suppkey / p_name — same width-vs-pruning
-      // tradeoff as the orderkey layout
-      ("lineitem", Seq("l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount", "l_shipdate"), "l_partkey"),
+      // (round 16) added l_suppkey / p_name; q9 added l_orderkey —
+      // same width-vs-pruning tradeoff as the orderkey layout
+      ("lineitem", Seq("l_partkey", "l_suppkey", "l_orderkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+        "l_partkey"),
       ("part", Seq("p_partkey", "p_name", "p_type", "p_brand",
         "p_container"), "p_partkey"))))
 
@@ -848,6 +849,76 @@ object Sinks {
         .orderBy(col("s_name"))
     },
     graft.tpch.FullTpch.q20Full.oracle,
+    tags = Set("sinks", "tpch_full"))
+
+  /** Three-layout consumer (partkey + partsupp + orderkey): textbook
+    * TPC-H Q9 (profit), 4.09× raw at the sf10 settle. The raw plan's
+    * bill (BreakdownMain, dev/BENCH_NOTES round 16): a 9.35M-row sort
+    * by (partkey, suppkey) for the partsupp SMJ (12.2 s summed, 1.3 GB
+    * peak), partsupp's own exchange+sort, a second 9.35M-row
+    * re-exchange+sort toward orders, and orders' 15M-row
+    * exchange+sort. The route erases all but one: the part name filter
+    * is a bucket-aligned SEMI (part contributes nothing but the
+    * filter), the partsupp join rides subset co-partitioning across
+    * the partkey and partsupp layouts (q20's mechanism — partkey alone
+    * co-locates the (partkey, suppkey) keys; only bucket-LOCAL sorts
+    * remain), and the orders join shuffles the reduced frame INTO the
+    * orderkey layout's bucket partitioning — the orders side itself
+    * stays exchange-free and pre-sorted because bucket count equals
+    * the shuffle partition count and both hash with murmur3. Supplier
+    * and nation broadcast (q5 precedent: narrow dims over the reduced
+    * fact). One hash exchange survives: the reduced frame's move to
+    * the orderkey (plus the 350-group rollup).
+    *
+    * MEASURED VERDICT (round 16, two interleaved same-JVM sf10 A/Bs):
+    * PARITY within weather — window 1 mins raw 3.189 vs bucketed
+    * 3.531, window 2 raw 3.035 vs bucketed 2.627; the windows disagree
+    * on the winner and both deltas sit inside the observed run-to-run
+    * band. Rule 5 applies: the erased items are real in the plan (the
+    * 12.2 s summed (partkey,suppkey) sort, partsupp's and orders'
+    * exchanges+sorts) but partially local-offset by bucket-granular
+    * scan cost; at network scale the erased movement dominates, which
+    * is the contract the arm ships on. Oracle BYTE-IDENTICAL to
+    * `q9_full_profit`'s spec text. */
+  val q9Bucketed: graft.GQuery = graft.GQuery(
+    "q9_full_bucketed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = graft.tpch.FullTpch.ensurePersisted(s, graft.tpch.TpchGen.sfFromDir(dir))
+      val (liTable, ptTable) = partkeyLayout(s, root)
+      val (psTable, _) = partsuppLayout(s, root)
+      val (_, orTable) = orderkeyLayout(s, root)
+      val ss = sortedScanSession(s)
+      ss.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val forest = ss.table(ptTable)
+        .where(col("p_name").like("%forest%")).select(col("p_partkey"))
+      val li = ss.table(liTable)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(forest, col("l_partkey") === col("p_partkey"), "left_semi")
+      val ps = ss.table(psTable)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+      val amountCents = floor(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")) * 100 + 0.5).cast("long")
+      val reduced = li.join(ps,
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), amountCents.as("amount_cents"))
+      val ord = ss.table(orTable).select(col("o_orderkey"), col("o_orderdate"))
+      val suppNation = ss.read.parquet(s"$root/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(ss.read.parquet(s"$root/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      reduced.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(col("amount_cents")).cast("double") / 100.0).as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+    graft.tpch.FullTpch.q9Full.oracle,
     tags = Set("sinks", "tpch_full"))
 
   /** Sole consumer of the [[custkeyLayout]]: textbook TPC-H Q13

@@ -364,6 +364,22 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("q9_full_bucketed: three layouts compose; only the reduced frame and rollup move") {
+    withAutoBroadcastDisabled {
+      val df = Registry.byName("q9_full_bucketed").build(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // part-name semi bucket-aligned; li⋈ps subset-co-partitioned
+      // across layouts; orders consumes its own bucket partitioning
+      // while the reduced frame shuffles into it — surviving hash
+      // exchanges: that one move plus the 350-group rollup
+      val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(shuffles <= 2, s"expected only the reduced-frame move and the rollup, got $shuffles:\n${plan.take(4000)}")
+      val expected = Registry.byName("q9_full_profit").build(spark, sfDir)
+      assert(df.collect().toSeq == expected.collect().toSeq)
+    }
+  }
+
   test("op_bloom_filter_join: a runtime bloom probe is injected into the fact scan") {
     val df = Registry.byName("op_bloom_filter_join").build(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
