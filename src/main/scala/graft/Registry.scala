@@ -40,7 +40,8 @@ object Registry {
         sources.Sinks.q10Bucketed, sources.Sinks.q20Bucketed,
         sources.Sinks.q9Bucketed,
         sources.Sinks.compactSmallFiles, sources.Sinks.compactPartitioned,
-        sources.Sinks.partitionPrune, sources.Sinks.bloomFilterJoin) ++
+        sources.Sinks.partitionPrune, sources.Sinks.bloomFilterJoin,
+        sources.Sinks.statsSkipping) ++
       pipeline.TrainingData.all
 
   lazy val byName: Map[String, GQuery] = {

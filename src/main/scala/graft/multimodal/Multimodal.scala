@@ -235,6 +235,86 @@ object Multimodal {
       tags = Set("multimodal"))
   }
 
+  /** Perceptual-hash near-dup detection over the media payload — the
+    * image-dedup stage of a multimodal curation pipeline, banded-LSH
+    * shaped exactly like [[graft.dedup.Dedup]]'s simhash path but
+    * keyed on a PAYLOAD-derived 64-bit hash. The hash itself is the
+    * stub half (a real pHash — DCT of the decoded image — would be
+    * computed inside the [[decodeFeatures]] partition iterator; here
+    * the 64 bits come deterministically off the synthetic payload
+    * digest, so both engines can replay them): four 16-bit bands,
+    * candidate pairs share ≥1 band bucket, buckets over 64 docs are
+    * dropped (the heavy-hitter guard — a degenerate band value must
+    * not quadratically explode a bucket), survivors verify by full
+    * 64-bit Hamming distance — the output is the verification table
+    * (pair, distance, `is_dup` = dist ≤ 12), so the key reports every
+    * candidate the LSH surfaced and which survived, non-empty at any
+    * corpus; a dedup consumer anti-joins on `is_dup = 1` (the planted
+    * payload copies in the generated corpus land at distance 0 —
+    * MultimodalSpec asserts them). Never all-pairs: candidate
+    * generation is a band-bucket self-join under the cap, verification
+    * joins the hash table twice on doc_id (linear, key-partitioned).
+    * A production deployment widens the hash to 256 bits / 32-bit
+    * bands so bucket occupancy stays data-driven, not birthday-bound;
+    * the plan shape is identical. Oracle replays hash, banding, cap,
+    * and verify from the same md5 — pair-identical by construction. */
+  val dedupPhash: GQuery = {
+    val bandCols = (0 until 4).map { i =>
+      conv(substring(md5(col("text")), 1 + 4 * i, 4), 16, 10).cast("long").as(s"b$i")
+    }
+    GQuery(
+      "mm_dedup_phash",
+      (s, dir) => {
+        val h = Tables.documents(s, dir).select(col("doc_id") +: bandCols: _*)
+        val bands = h.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+        val keepBuckets = bands.groupBy(col("bi"), col("bv"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= 64)
+          .select(col("bi"), col("bv"))
+        val small = bands.join(keepBuckets, Seq("bi", "bv"))
+        val cand = small.as("a").join(small.as("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand
+          .join(h.toDF("d1", "a0", "a1", "a2", "a3"), "d1")
+          .join(h.toDF("d2", "c0", "c1", "c2", "c3"), "d2")
+          .withColumn("dist",
+            expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+              .cast("long"))
+          .select(col("d1"), col("d2"), col("dist"),
+            (col("dist") <= 12).cast("long").as("is_dup"))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id,
+                          ('0x' || substr(md5(text),  1, 4))::BIGINT AS b0,
+                          ('0x' || substr(md5(text),  5, 4))::BIGINT AS b1,
+                          ('0x' || substr(md5(text),  9, 4))::BIGINT AS b2,
+                          ('0x' || substr(md5(text), 13, 4))::BIGINT AS b3
+                   FROM documents),
+        bands AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM h
+                  UNION ALL SELECT doc_id, 1, b1 FROM h
+                  UNION ALL SELECT doc_id, 2, b2 FROM h
+                  UNION ALL SELECT doc_id, 3, b3 FROM h),
+        keep AS (SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 64),
+        small AS (SELECT bands.* FROM bands JOIN keep USING (bi, bv)),
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM small a JOIN small b USING (bi, bv)
+                 WHERE a.doc_id < b.doc_id)
+        SELECT d1, d2,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS dist,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 12 AS BIGINT) AS is_dup
+        FROM cand
+        JOIN h ha ON ha.doc_id = d1
+        JOIN h hb ON hb.doc_id = d2"""),
+      tags = Set("multimodal"))
+  }
+
   def all: Seq[GQuery] =
-    Seq(metadata, decodeFeaturesQuery, frameSample, resize, shardManifest)
+    Seq(metadata, decodeFeaturesQuery, frameSample, resize, shardManifest, dedupPhash)
 }

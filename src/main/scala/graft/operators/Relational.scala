@@ -1366,6 +1366,54 @@ object Relational {
       FROM events GROUP BY 1"""),
     tags = Set("relational"))
 
+  /** EXACT heavy hitters with a bounded-shuffle candidate pass — the
+    * two-pass sketch-then-verify pattern for top-k frequency over a
+    * key space too large to hash-aggregate in full. Pass 1 counts
+    * 2^14 HASH BUCKETS exactly (shuffle cardinality capped at 16384
+    * keys regardless of how many distinct words exist — at 100 TB
+    * this is the difference between shuffling every distinct token
+    * and shuffling a fixed grid); any word with freq ≥ T forces its
+    * bucket total ≥ T, so buckets below T are provably free of heavy
+    * hitters and their rows never reach pass 2. Pass 2 broadcast-semi
+    * filters tokens to surviving buckets and counts exactly, so the
+    * output is EXACT (no CMS over-estimate ever surfaces): the bucket
+    * screen admits false positives, the final `freq >= T` filter
+    * removes them. T = max(2, total DIV 2000) — a relative support
+    * threshold, scale-free across corpora. Top-50 under the total
+    * order (freq desc, word asc). Oracle: the brute-force one-pass
+    * group-by — bit-identical output proves the screen lossless. */
+  val heavyHitters: GQuery = GQuery(
+    "op_heavy_hitters",
+    (s, dir) => {
+      val B = 1 << 14
+      val occ = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("b", pmod(xxhash64(col("w")), lit(B.toLong)))
+      val grid = occ.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      val tot = grid.agg(sum(col("bn")).as("total"))
+      val cand = grid.crossJoin(broadcast(tot))
+        .filter(col("bn") >= greatest(lit(2L), expr("total DIV 2000")))
+        .select(col("b"))
+      occ.join(broadcast(cand), "b")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("freq") >= greatest(lit(2L), expr("total DIV 2000")))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(50)
+        .select(col("w"), col("freq"))
+    },
+    Some("""
+      WITH occ AS (SELECT t AS w
+                   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                   WHERE length(t) > 0),
+      tot AS (SELECT count(*) AS total FROM occ),
+      f AS (SELECT w, count(*) AS freq FROM occ GROUP BY 1)
+      SELECT w, freq FROM f, tot
+      WHERE freq >= greatest(2, total // 2000)
+      ORDER BY freq DESC, w LIMIT 50"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1374,5 +1422,6 @@ object Relational {
     ntileOp, saltedJoinOp, lateralJoin, jsonExtract, scd2Intervals,
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
-    profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame)
+    profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame,
+    heavyHitters)
 }

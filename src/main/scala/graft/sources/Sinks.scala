@@ -1495,6 +1495,87 @@ object Sinks {
         AND o_totalprice > 150000.0"""),
     tags = Set("sinks"))
 
+  /** Registry key demonstrating FILE-LEVEL STATS SKIPPING — the
+    * manifest pattern behind Delta/Iceberg data skipping, built from
+    * parts Spark already has: (1) at write time, range-cluster the
+    * fact on the skip column (`repartitionByRange` + sort — the 1-D
+    * little sibling of [[graft.operators.Relational.zorderCluster]])
+    * so each file covers a narrow `ts` span, and record a MANIFEST of
+    * per-file min/max/rowcount (`_metadata.file_path` + one tiny
+    * aggregate — exactly what a table format's commit protocol stores);
+    * (2) at query time, plan the read from the manifest: only files
+    * whose [min,max] intersects the predicate window are opened, the
+    * exact predicate still applies to the survivors, so the answer is
+    * independent of how well the skip worked. The selected-path list
+    * is driver-side by design — one row per FILE, the same metadata
+    * a FileIndex already holds (at 100 TB with 10^6 files this is
+    * megabytes, and a real table format pages it; it is never
+    * O(rows)). Clustering is what makes the stats tight: without it
+    * every file spans the whole month and nothing skips (SinksSpec
+    * asserts >half the files are skipped AND the pruned result equals
+    * the unpruned one). The oracle collapses the whole apparatus to a
+    * flat WHERE over raw events — the skip must not change a row. */
+  /** Clustered-fact + manifest build for [[statsSkipping]], memoized
+    * per (context incarnation, corpus) like every layout. */
+  private[graft] def skipRoot(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val sc = s.sparkContext
+    compactScratch.computeIfAbsent(
+      s"${sc.applicationId}@${sc.startTime}:$dir#skip",
+      _ => {
+        val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+        Tables.events(s, dir)
+          .repartitionByRange(16, col("ts"))
+          .sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(s"$base/fact")
+        s.read.parquet(s"$base/fact")
+          .groupBy(col("_metadata.file_path").as("path"))
+          .agg(min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(s"$base/manifest")
+        base
+      })
+  }
+
+  /** Manifest-side planning for [[statsSkipping]]: (surviving file
+    * paths, total file count). Driver-side by design — one row per
+    * file, the same metadata a FileIndex holds. */
+  private[graft] def skipSelect(s: SparkSession, root: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): (Array[String], Long) = {
+    import org.apache.spark.sql.functions.col
+    val manifest = s.read.parquet(s"$root/manifest")
+    val keep = manifest.filter(col("ts_max") >= lo && col("ts_min") < hi)
+      .select(col("path")).collect().map(_.getString(0)).sorted
+    (keep, manifest.count())
+  }
+
+  val statsSkipping: graft.GQuery = graft.GQuery(
+    "op_stats_skipping",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = skipRoot(s, dir)
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-15 00:00:00").cast("timestamp")
+      val (keep, _) = skipSelect(s, root, lo, hi)
+      s.read.parquet(keep: _*)
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1"""),
+    // duckNotComparable: the Spark side pays the clustered rewrite +
+    // manifest build inside the key (the write IS the operator); the
+    // oracle is a flat scan with a WHERE — the ratio prices layout
+    // construction, not engine against engine
+    tags = Set("sinks", "duckNotComparable"))
+
   /** CSV with header. An explicit schema on read avoids the
     * inference pass (a full extra scan at 100 TB — never rely on it
     * in production paths). */

@@ -276,4 +276,21 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(bad.isEmpty, "offset-0 retention cell != cohort size")
     } finally got.unpersist()
   }
+
+  test("heavy_hitters equals brute force: the bounded bucket screen is lossless") {
+    val got = operators.Relational.heavyHitters.build(spark, TestSession.sfDir01)
+      .collect().toSeq
+    // independent brute force: one full group-by, no bucket pass
+    val occ = sources.Tables.documents(spark, TestSession.sfDir01)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val freq = occ.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val total = occ.count()
+    val t = math.max(2L, total / 2000L)
+    val want = freq.filter(col("freq") >= t)
+      .orderBy(col("freq").desc, col("w")).limit(50)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want, s"screen dropped or invented a heavy hitter (T=$t)")
+  }
 }

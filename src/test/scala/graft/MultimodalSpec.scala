@@ -28,4 +28,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!readSchema.contains("blob"), readSchema)
     assert(df.count() > 0)
   }
+
+  test("mm_dedup_phash finds the planted payload copies at distance 0, never all-pairs") {
+    // the generated corpus plants ~5% copy rows whose text (hence
+    // synthetic payload digest) is byte-identical to their source —
+    // exactly what a payload-level perceptual dedup must surface
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    graft.sources.AuxGen.documents(spark, 0.01)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val n = spark.read.parquet(s"$tmp/documents.parquet").count()
+    val out = Multimodal.dedupPhash.build(spark, tmp).collect()
+    assert(out.nonEmpty)
+    // planted copies: identical payload => all four bands collide,
+    // Hamming 0, flagged dup
+    val exact = out.filter(r => r.getLong(2) == 0L && r.getLong(3) == 1L)
+    assert(exact.nonEmpty, "planted copies not surfaced")
+    // candidate table stays far from quadratic (LSH banding + cap)
+    assert(out.length < n * 8, s"${out.length} candidate pairs for $n docs")
+    // canonical, distinct pairs
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length == out.length)
+  }
 }

@@ -26,6 +26,9 @@ class PlanSpec extends SparkSpecBase {
       // attach, the per-round census assembly, and the incremental
       // aggregate's scalar cutoff
       "op_dq_audit", "graph_kcore", "op_incremental_agg", "op_decay_score",
+      // heavy hitters: both passes attach the broadcast 1-row token
+      // total (the relative-support threshold) via crossJoin
+      "op_heavy_hitters",
       // q11's HAVING total: the per-group frame crossJoins a broadcast
       // 1-row re-aggregate of itself (Sinks.q11Bucketed scaladoc);
       // q22's rewrite crossJoins its broadcast 1-row avg the same way

@@ -527,4 +527,26 @@ class SinksSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).orderBy(col("id")).collect().toSeq ==
       df.orderBy(col("id")).collect().toSeq)
   }
+
+  test("op_stats_skipping: the manifest skips most files and the pruned answer is exact") {
+    val root = Sinks.skipRoot(spark, sfDir)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-15 00:00:00").cast("timestamp")
+    val (keep, total) = Sinks.skipSelect(spark, root, lo, hi)
+    assert(total == 16, s"expected 16 clustered files, manifest lists $total")
+    // a 5-day window over a range-clustered 30-day table must skip
+    // more than half the files — the clustering is what makes the
+    // min/max stats tight enough to act on
+    assert(keep.length * 2 < total, s"kept ${keep.length} of $total files — stats not tight")
+    assert(keep.nonEmpty)
+    val pruned = Sinks.statsSkipping.build(spark, sfDir)
+      .orderBy(col("event_type")).collect().toSeq
+    val flat = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(pruned == flat)
+  }
 }
