@@ -1414,6 +1414,73 @@ object Relational {
       ORDER BY freq DESC, w LIMIT 50"""),
     tags = Set("relational"))
 
+  /** ED-JOIN — EXACT edit-distance similarity self-join (entity
+    * resolution's core primitive) with prefix-filtered q-gram blocking,
+    * from the published ED-Join family (Xiao, Wang & Lin, VLDB'08 —
+    * public literature). Candidate generation never goes all-pairs:
+    * each 24-char key is decomposed into positional q-grams (q=2), a
+    * global rarest-first total order over gram values is computed from
+    * corpus document frequency, and only each string's first q·k+1
+    * gram INSTANCES under that order (its "prefix") enter the join.
+    * Theory: if ed(s,t) ≤ k the gram multisets share ≥ |G|−k·q
+    * instances, so the (q·k+1)-prefixes under one total order must
+    * intersect — the block is provably LOSSLESS, unlike the length/
+    * first-char heuristics. Two further lossless filters cut
+    * candidates: matched grams must sit within k positions (one edit
+    * shifts positions by ≤ 1), and a length filter |len(s)−len(t)| ≤ k.
+    * Survivors are verified with the real `levenshtein`, so output =
+    * brute force exactly (the oracle IS the brute-force cross join —
+    * bit-equality proves losslessness; the spec re-proves it in-plan).
+    * 100 TB: rarest-first prefixes are inherently skew-resistant (hot
+    * grams rank last and rarely enter prefixes); the candidate join
+    * shuffles on gram value — bounded fan-out per rare gram; the
+    * verify is a hash join on doc_id. k=2 over the leading 24 chars. */
+  val fuzzyJoin: GQuery = GQuery(
+    "op_fuzzy_join",
+    (s, dir) => {
+      val q = 2
+      val k = 2
+      // Contract: join keys must be ≥ q chars (shorter keys have no
+      // grams; a general caller routes them through a tiny short-key
+      // bucket). This corpus floors at 44 chars, so the guard is free.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+        .filter(length(col("t")) >= q)
+      val grams = docs
+        .select(col("doc_id"), length(col("t")).as("len"),
+          posexplode(expr(s"transform(sequence(1, length(t)-$q+1), i -> substring(t, i, $q))")))
+        .withColumnRenamed("col", "g")
+      // rarest-first global order on gram VALUES (df asc, gram asc);
+      // gdf is tiny (distinct 2-grams of the corpus alphabet) → broadcast
+      val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val prefix = grams.join(broadcast(gdf), "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"), col("pos"))))
+        .filter(col("rk") <= k * q + 1)
+        .select(col("g"), col("pos"), col("doc_id"), col("len"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.pos") - col("b.pos")) <= k &&
+            abs(col("a.len") - col("b.len")) <= k)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
+        .withColumn("dist", levenshtein(col("t1"), col("t2")))
+        .filter(col("dist") <= k)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, substr(text, 1, 24) AS t FROM documents)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.t, b.t) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.t, b.t) <= 2
+      ORDER BY d1, d2"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1423,5 +1490,5 @@ object Relational {
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
     profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame,
-    heavyHitters)
+    heavyHitters, fuzzyJoin)
 }

@@ -293,4 +293,26 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
     assert(got == want, s"screen dropped or invented a heavy hitter (T=$t)")
   }
+
+  test("fuzzy_join prefix filter is lossless vs brute-force levenshtein, and never all-pairs") {
+    val got = operators.Relational.fuzzyJoin.build(spark, TestSession.sfDir01)
+    // independent brute force over the same 24-char keys
+    val t = sources.Tables.documents(spark, TestSession.sfDir01)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+    val want = t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
+      .filter(col("dist") <= 2)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+    val g = got.collect().toSeq
+    assert(g.nonEmpty, "corpus plants duplicate prefixes; expected matches")
+    assert(g == want.collect().toSeq,
+      "prefix-filtered candidates diverge from brute force: the block is not lossless")
+    // the plan must not contain a cartesian product (the blocked join
+    // is an equi-join on gram value; only the brute-force CHECK above
+    // may go quadratic)
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "fuzzy join candidate generation fell back to a cartesian product")
+  }
 }
