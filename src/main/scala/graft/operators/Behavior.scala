@@ -384,7 +384,122 @@ object Behavior {
       FROM w WHERE event_type = 'purchase' AND last_touch IS NOT NULL"""),
     tags = Set("behavior"))
 
+  /** Per-event-type ordinary-least-squares trend (slope + Pearson
+    * correlation of value vs day): ONE pass computing the six exact
+    * BIGINT sufficient statistics `(n, Σx, Σy, Σx², Σy², Σxy)` with
+    * map-side combine, then the closed-form slope/corr derived from
+    * those integers on the ~|types|-row aggregate frame — the
+    * textbook "never collect the points, ship the moments" shape that
+    * is the same ONE shuffle at 100 TB. x is the day offset from the
+    * corpus min day (a 1-row broadcast scalar, the
+    * [[decayScore]]/[[Relational.incrementalAgg]] spelling), y is
+    * exact integer cents, so every sum is accumulation-order
+    * independent. The quadratic forms `n·Σxy − Σx·Σy` etc. are
+    * widened to DECIMAL(38,0) (HUGEINT in the oracle) — exact at any
+    * sf — and only the final slope/corr divide runs in double on
+    * those identical exact inputs, rounded to 6 dp (the
+    * [[graft.similarity.Ann]] determinism discipline). */
+  val regressionStats: GQuery = GQuery(
+    "op_regression_stats",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"),
+          cents(col("value")).as("y"))
+      val base = e.agg(min(col("d")).as("d0"))
+      def wide(c: Column): Column = c.cast("decimal(19,0)")
+      val m = e.crossJoin(broadcast(base))
+        .withColumn("x", col("d") - col("d0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      m.withColumn("cov_n",
+          (wide(col("n")) * wide(col("sxy")) - wide(col("sx")) * wide(col("sy")))
+            .cast("double"))
+        .withColumn("varx_n",
+          (wide(col("n")) * wide(col("sxx")) - wide(col("sx")) * wide(col("sx")))
+            .cast("double"))
+        .withColumn("vary_n",
+          (wide(col("n")) * wide(col("syy")) - wide(col("sy")) * wide(col("sy")))
+            .cast("double"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"),
+          round(col("cov_n") / col("varx_n"), 6).as("slope6"),
+          round(col("cov_n") / (sqrt(col("varx_n")) * sqrt(col("vary_n"))), 6)
+            .as("corr6"))
+    },
+    Some("""
+      WITH base AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+      xy AS (SELECT event_type,
+                    (epoch_us(ts) // 86400000000) - d0 AS x,
+                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+             FROM events, base),
+      m AS (SELECT event_type, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+                   sum(x*y)::BIGINT AS sxy
+            FROM xy GROUP BY 1),
+      d AS (SELECT *,
+              CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) AS cov_n,
+              CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) AS varx_n,
+              CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE) AS vary_n
+            FROM m)
+      SELECT event_type, n, sx, sy, sxx, syy, sxy,
+             round(cov_n / varx_n, 6) AS slope6,
+             round(cov_n / (sqrt(varx_n) * sqrt(vary_n)), 6) AS corr6
+      FROM d"""),
+    tags = Set("behavior"))
+
+  /** MATCH_RECOGNIZE-lite ordered-subsequence detection: count, per
+    * user, every `purchase` preceded (anywhere earlier in the stream)
+    * by a `click` that itself was preceded by a `view` — the
+    * view→click→purchase pattern counted PER INSTANCE, not the
+    * earliest-completion funnel [[Relational.funnel]] computes with a
+    * 3-join min-ts chain. Spelled as two stacked conditional running
+    * maxes over ONE (user, ts, event_id) window — the second max's
+    * predicate reads the first's output, so both Window operators
+    * share a single exchange + sort and the whole match is one keyed
+    * pass with zero joins (the plan a streaming-state engine would
+    * run; at 100 TB the cost is the one user_id shuffle). Timestamps
+    * stay in exact µs so window order and values are engine-identical. */
+  val sequenceMatch: GQuery = GQuery(
+    "op_sequence_match",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+        .withColumn("v_us",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("vc_us",
+          max(when(col("event_type") === "click" && col("v_us").isNotNull,
+            col("us"))).over(w))
+        .filter(col("event_type") === "purchase" && col("vc_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      w1 AS (SELECT *, max(CASE WHEN event_type='view' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_us FROM e),
+      w2 AS (SELECT *, max(CASE WHEN event_type='click' AND v_us IS NOT NULL
+                                THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vc_us FROM w1)
+      SELECT user_id, count(*)::BIGINT AS n_matches,
+             min(us)::BIGINT AS first_us, max(us)::BIGINT AS last_us
+      FROM w2 WHERE event_type='purchase' AND vc_us IS NOT NULL
+      GROUP BY 1"""),
+    tags = Set("behavior"))
+
   def all: Seq[GQuery] =
     Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers,
-      timeWeightedAvg, decayScore, attribution)
+      timeWeightedAvg, decayScore, attribution, regressionStats, sequenceMatch)
 }

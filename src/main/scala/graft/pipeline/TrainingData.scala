@@ -808,8 +808,56 @@ object TrainingData {
       SELECT status, count(*) AS n_docs FROM d GROUP BY 1"""),
     tags = Set("pipeline"))
 
+  /** SUBSTRING-level duplication audit (the ExactSubstr idea behind
+    * "Deduplicating Training Data Makes Language Models Better":
+    * repeated PASSAGES across documents matter even when no whole doc
+    * or paragraph is a dup — [[graft.dedup.Dedup]]'s doc/paragraph
+    * keys can't see them). Every 8-word rolling window is keyed by
+    * `md5` of its text (engine-identical, so the key IS the oracle
+    * key; at PB scale the same plan rides `xxhash64`); a window-min
+    * over the hash assigns each shingle its first-owner doc, and each
+    * doc reports how many of its windows already occurred in an
+    * earlier doc (`dup_permille` — the trainer's cut signal).
+    * Exactly two shuffles at any corpus size: one on the shingle hash
+    * (window-min), one on doc_id (the per-doc rollup) — never a
+    * pairwise join, and the shingle frame is map-generated by an
+    * array lambda (no posexplode self-join). Suffix arrays find
+    * arbitrary-length repeats; the fixed-W rolling window is the
+    * standard distributed approximation (a repeat of length ≥ W
+    * always contains a repeated W-window). */
+  val ngramDedup: GQuery = GQuery(
+    "pipeline_ngram_dedup",
+    (s, dir) => {
+      val W = 8
+      val sh = graft.sources.Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(t) >= $W
+                   THEN transform(sequence(0, size(t) - $W),
+                                  i -> md5(concat_ws(' ', slice(t, i + 1, $W))))
+                   ELSE array() END""")).as("h"))
+      sh.withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_dup_windows"))
+        .withColumn("dup_permille", expr("1000 * n_dup_windows div n_windows"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      sh AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+             FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g
+             WHERE len(t) >= 8),
+      own AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS owner FROM sh)
+      SELECT doc_id, count(*)::BIGINT AS n_windows,
+             sum((owner < doc_id)::INT)::BIGINT AS n_dup_windows,
+             (1000 * sum((owner < doc_id)::INT)::BIGINT) // count(*) AS dup_permille
+      FROM own GROUP BY 1"""),
+    tags = Set("pipeline"))
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
       shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
-      sampleFixedN, interleave, dataCard, sampleWeighted, curriculum, datasetDiff)
+      sampleFixedN, interleave, dataCard, sampleWeighted, curriculum, datasetDiff,
+      ngramDedup)
 }

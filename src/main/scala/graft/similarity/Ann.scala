@@ -805,7 +805,93 @@ object Ann {
       GROUP BY 1"""),
     tags = Set("ann"))
 
+  /** HYBRID retrieval — dense + lexical fused by Reciprocal Rank
+    * Fusion (`Σ 1/(60+rank)`, the Cormack/Clarke formula every
+    * production search stack ships): the vector arm is
+    * [[cosineTopk]]'s broadcast-probe top-20 over `embeddings`, the
+    * lexical arm is an inverted-index join over `documents`
+    * (distinct-token explode, equi-join on token, overlap count — the
+    * plan a sharded BM25 engine runs; at web scale the hot-token
+    * posting lists get df-capped exactly like
+    * [[graft.dedup.Dedup]]'s blocking keys, and idf weighting makes
+    * those lists near-worthless anyway), linked by doc_id = vec_id.
+    * Determinism: both ranks are integers from exact-integer scores
+    * (quantized dot products; token counts) with id tie-breaks, so
+    * `1/(60+r)` sums to bit-identical doubles in both engines;
+    * only the final fused score is rounded (6 dp). Missing-from-list
+    * contributes 0 via the full-outer join — standard RRF over
+    * truncated lists. */
+  val hybridRrf: GQuery = GQuery(
+    "ann_hybrid_rrf",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), quant.as("qe"))
+      val c = emb.select(col("vec_id"), quant.as("ce"))
+      val wv = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val vrank = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("dot", expr("dot_long(qe, ce)"))
+        .withColumn("qn", expr("dot_long(qe, qe)"))
+        .withColumn("cn", expr("dot_long(ce, ce)"))
+        .withColumn("cosine",
+          col("dot").cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("r_v", row_number().over(wv).cast("long"))
+        .filter(col("r_v") <= 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("r_v"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val qt = toks.filter(col("doc_id") < N_QUERIES)
+        .select(col("doc_id").as("query_id"), col("tok"))
+      val wl = Window.partitionBy(col("query_id")).orderBy(col("ov").desc, col("doc_id"))
+      val lrank = qt.join(toks, "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+        .withColumn("r_l", row_number().over(wl).cast("long"))
+        .filter(col("r_l") <= 20)
+        .select(col("query_id"), col("doc_id"), col("r_l"))
+      val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf6").desc, col("doc_id"))
+      vrank.join(lrank, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf6", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_v")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_l")), lit(0.0)), 6))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rrf6"), col("rnk"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+                FROM qv q, qv c WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
+      vscored AS (SELECT query_id, pairs.vec_id AS vec_id,
+                         dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+                  FROM pairs JOIN norms nq ON query_id = nq.vec_id
+                             JOIN norms nc ON pairs.vec_id = nc.vec_id),
+      vrank AS (SELECT query_id, vec_id AS doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS r_v
+                FROM vscored QUALIFY r_v <= 20),
+      toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+      ov AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*)::BIGINT AS ov
+             FROM toks q JOIN toks c USING (tok)
+             WHERE q.doc_id < $N_QUERIES AND c.doc_id <> q.doc_id GROUP BY 1,2),
+      lrank AS (SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS BIGINT) AS r_l
+                FROM ov QUALIFY r_l <= 20),
+      fused AS (SELECT coalesce(v.query_id, l.query_id) AS query_id,
+                       coalesce(v.doc_id, l.doc_id) AS doc_id,
+                       round(coalesce(CAST(1 AS DOUBLE)/(60+v.r_v), 0)
+                             + coalesce(CAST(1 AS DOUBLE)/(60+l.r_l), 0), 6) AS rrf6
+                FROM vrank v FULL JOIN lrank l ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+      SELECT query_id, doc_id, rrf6,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf6 DESC, doc_id) AS BIGINT) AS rnk
+      FROM fused QUALIFY rnk <= 10"""),
+    tags = Set("similarity"))
+
   def all: Seq[GQuery] =
     Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey,
-      pqTopk, centroids, recallEval)
+      pqTopk, centroids, recallEval, hybridRrf)
 }

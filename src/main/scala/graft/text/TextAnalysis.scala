@@ -701,8 +701,70 @@ object TextAnalysis {
       SELECT n AS occurrences, count(*) AS n_words FROM freq GROUP BY 1"""),
     tags = Set("text"))
 
+  /** Corpus collocation mining: directional token co-occurrence
+    * within a ±3-word window, scored by integer-exact LIFT
+    * `⌊10⁶·c(a,b)·N / (c(a)·c(b))⌋` — the PMI argument in scaled
+    * integer form, so no engine-varying `log` ever runs (the
+    * [[entropy]] integer-log2 discipline). Pair generation is
+    * MAP-ONLY: a `transform`/`filter` lambda over each doc's token
+    * array emits (tok[i], tok[i+k]) for k=1..3 with zero joins — the
+    * corpus-sized stages are one explode + two keyed aggregates, and
+    * the vocab-sized lift join broadcasts under AQE (at web scale the
+    * vocab table is still ≪ the corpus; the arithmetic runs in
+    * DECIMAL(38,0)/HUGEINT so 10⁶·c_xy·N stays exact at any sf). The
+    * final top-50 window sorts the |V|²-bounded matrix, never the
+    * corpus. */
+  val cooccurrence: GQuery = GQuery(
+    "text_cooccurrence",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val occ = toks.select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val pairs = toks.select(explode(expr("""
+          flatten(transform(array(1, 2, 3), k ->
+            filter(transform(sequence(0, size(t) - 1), i ->
+              CASE WHEN i + k < size(t)
+                   THEN struct(t[i] AS a, t[i + k] AS b) END),
+              x -> x IS NOT NULL)))""")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+      val np = pairs.agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("lift_e6").desc, col("a"), col("b"))
+      pc.crossJoin(broadcast(np))
+        .join(occ.select(col("tok").as("a"), col("c").as("ca")), "a")
+        .join(occ.select(col("tok").as("b"), col("c").as("cb")), "b")
+        .filter(col("c_xy") >= 20)
+        .withColumn("lift_e6", expr(
+          "CAST(1000000 AS DECIMAL(38,0)) * c_xy * n_pairs DIV (CAST(ca AS DECIMAL(19,0)) * cb)"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("a"), col("b"), col("c_xy"), col("lift_e6"), col("rnk"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      occ AS (SELECT unnest(t) AS tok FROM toks),
+      occ_c AS (SELECT tok, count(*)::BIGINT AS c FROM occ GROUP BY 1),
+      pairs AS (SELECT t[i] AS a, t[i+k] AS b
+                FROM toks
+                CROSS JOIN (VALUES (1),(2),(3)) ks(k),
+                LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gi
+                WHERE i + k <= len(t)),
+      pc AS (SELECT a, b, count(*)::BIGINT AS c_xy FROM pairs GROUP BY 1,2),
+      np AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+      lift AS (SELECT a, b, c_xy,
+                      CAST((1000000::HUGEINT * c_xy * n_pairs)
+                           // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_e6
+               FROM pc, np JOIN occ_c ca ON pc.a = ca.tok JOIN occ_c cb ON pc.b = cb.tok
+               WHERE c_xy >= 20)
+      SELECT a, b, c_xy, lift_e6,
+             CAST(row_number() OVER (ORDER BY lift_e6 DESC, a, b) AS BIGINT) AS rnk
+      FROM lift QUALIFY rnk <= 50"""),
+    tags = Set("text"))
+
   def all: Seq[GQuery] =
     Seq(tokens, quality, langid, fingerprint, rarity, lmScore, repetition, entropy,
       normalize, pii, boilerplate, bpeMerges, keywords, ngramProfile, hashFeatures,
-      lexicalDiversity, freqSpectrum)
+      lexicalDiversity, freqSpectrum, cooccurrence)
 }

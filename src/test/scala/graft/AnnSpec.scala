@@ -217,4 +217,26 @@ class AnnSpec extends SparkSpecBase {
     // search scores (same bands, smaller corpus side)
     got.unpersist()
   }
+
+  test("hybrid RRF fusion is well-formed and sits on the 1/(60+r) grid") {
+    val got = SparkEntry.queries("ann_hybrid_rrf")(spark, sfDir).cache()
+    try {
+      assert(got.select(col("query_id")).distinct().count() == 10)
+      // dense 1..10 per query, fused score monotone non-increasing in rank
+      val perQ = got.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("m"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      assert(perQ.filter(col("m") =!= 10 || col("mx") =!= 10 || col("mn") =!= 1).isEmpty)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      assert(got.withColumn("prev", lag(col("rrf6"), 1).over(w))
+        .filter(col("prev").isNotNull && col("rrf6") > col("prev")).isEmpty,
+        "fused score must be non-increasing down the ranking")
+      // every fused score is 1/(60+a) [+ 1/(60+b)] for ranks in 1..20:
+      // bounded by the both-arms-rank-1 max and the single-arm-rank-20 min
+      val mx = BigDecimal(2.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mn = BigDecimal(1.0 / 80).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.filter(col("rrf6") > mx || col("rrf6") < mn).isEmpty,
+        s"fused score outside [$mn, $mx] — not on the truncated-list RRF grid")
+    } finally got.unpersist()
+  }
 }

@@ -320,4 +320,62 @@ class BehaviorSpec extends SparkSpecBase {
         col("ttr_permille") =!= expr("(distinct_tokens * 1000) DIV total_tokens")).isEmpty)
     } finally ld.unpersist()
   }
+
+  test("regression moments conserve the corpus and agree with Spark's own corr/regr_slope") {
+    val r = SparkEntry.queries("op_regression_stats")(spark, sfDir).cache()
+    try {
+      val events = sources.Tables.events(spark, sfDir)
+      assert(r.agg(sum(col("n"))).head().getLong(0) == events.count(),
+        "group sizes must partition the event stream")
+      assert(r.filter(col("corr6") < -1.0 || col("corr6") > 1.0).isEmpty,
+        "Pearson correlation out of [-1, 1]")
+      // independent replay: Spark's built-in corr/regr_slope over the
+      // same (x = day offset, y = cents) points — the closed form from
+      // the integer moments must match the streaming-kernel builtins
+      val xy = events
+        .select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"),
+          floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      val d0 = xy.agg(min(col("d"))).head().getLong(0)
+      val ref = xy.withColumn("x", (col("d") - lit(d0)).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(corr(col("x"), col("y").cast("double")).as("corr_ref"),
+          expr("regr_slope(CAST(y AS DOUBLE), x)").as("slope_ref"))
+      val j = r.join(ref, "event_type")
+      assert(j.count() == r.count())
+      assert(j.filter(abs(col("corr6") - col("corr_ref")) > 1e-4).isEmpty,
+        "moment-form corr drifts from the builtin")
+      assert(j.filter(abs(col("slope6") - col("slope_ref")) > 1e-3).isEmpty,
+        "moment-form slope drifts from the builtin")
+    } finally r.unpersist()
+  }
+
+  test("sequence match users are exactly the funnel's stage-3 completions") {
+    val m = SparkEntry.queries("op_sequence_match")(spark, sfDir).cache()
+    try {
+      assert(m.count() > 0)
+      // a user has >=1 view→click→purchase instance IFF the
+      // earliest-completion min-ts chain closes (see scaladoc proof):
+      // min-view <= any qualifying view, so the min-chain's click and
+      // purchase candidates only widen
+      val funnel3 = SparkEntry.queries("op_funnel")(spark, sfDir)
+        .filter(col("stage") === 3).select(col("user_id"))
+      assert(m.select(col("user_id")).exceptAll(funnel3).isEmpty,
+        "matched user missing from funnel stage 3")
+      assert(funnel3.exceptAll(m.select(col("user_id"))).isEmpty,
+        "funnel stage-3 user with no counted instance")
+      // per-user instance count can never exceed the purchase count
+      val p = sources.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+      assert(m.join(p, "user_id").filter(col("n_matches") > col("np")).isEmpty)
+      assert(m.filter(col("first_us") > col("last_us")).isEmpty)
+      // the whole match runs in ONE user_id exchange: the stacked
+      // windows and the rollup share the partitioning
+      val planStr = m.queryExecution.executedPlan.toString()
+      val finalPlan = planStr.split("== Initial Plan ==").head // AQE echoes both
+      val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"sequence match should shuffle once, saw $exchanges")
+    } finally m.unpersist()
+  }
 }

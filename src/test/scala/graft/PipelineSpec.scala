@@ -276,4 +276,38 @@ class PipelineSpec extends SparkSpecBase {
       assert(badName.isEmpty)
     } finally got.unpersist()
   }
+
+  test("ngram dedup replays against an independent pairwise-join recount") {
+    val got = SparkEntry.queries("pipeline_ngram_dedup")(spark, sfDir).cache()
+    try {
+      assert(got.count() > 0)
+      assert(got.filter(col("n_dup_windows") > col("n_windows")).isEmpty)
+      assert(got.filter(col("dup_permille") < 0 || col("dup_permille") > 1000).isEmpty)
+      assert(got.filter(col("n_dup_windows") > 0).count() > 0,
+        "the corpus plants near-dup passages; none surfaced")
+      // window totals conserve: every doc with >= 8 words contributes
+      // size - 7 windows
+      val docs = sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      val expected = docs.filter(col("nw") >= 8)
+        .agg(sum(col("nw") - 7)).head().getLong(0)
+      assert(got.agg(sum(col("n_windows"))).head().getLong(0) == expected)
+      // independent recount of n_dup_windows, NOT via the shipped
+      // window-min: distinct shingles per doc joined against earlier
+      // docs' shingles (counts multiplicity like the shipped plan:
+      // a doc window is dup iff its text occurs in ANY earlier doc)
+      val sh = docs.join(sources.Tables.documents(spark, sfDir), "doc_id")
+        .filter(col("nw") >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(split(text, ' ')) - 8), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8)))")).as("g"))
+      val firstSeen = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val recount = sh.join(firstSeen, "g")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("re"))
+      val diff = got.join(recount, "doc_id")
+        .filter(col("n_dup_windows") =!= col("re")).count()
+      assert(diff == 0, s"$diff docs disagree with the independent recount")
+    } finally got.unpersist()
+  }
 }

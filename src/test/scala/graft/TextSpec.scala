@@ -111,4 +111,29 @@ class TextSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(1) > 0)) // every doc has fingerprints
   }
+
+  test("cooccurrence top pairs replay brute-force and ranks are dense") {
+    val co = SparkEntry.queries("text_cooccurrence")(spark, sfDir).cache()
+    try {
+      val n = co.count()
+      assert(n > 0 && n <= 50)
+      assert(co.filter(col("c_xy") < 20 || col("lift_e6") <= 0).isEmpty)
+      assert(co.agg(max(col("rnk")).as("mx"), min(col("rnk")).as("mn"),
+        countDistinct(col("rnk")).as("k")).filter(
+        col("mx") =!= n || col("mn") =!= 1L || col("k") =!= n).isEmpty,
+        "rnk must be the dense 1..n prefix")
+      // independent replay of the top pair's count: positional
+      // self-join (the plan the shipped map-only lambda avoids)
+      val top = co.orderBy(col("rnk")).head()
+      val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+      val pos = sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      val brute = pos.as("l").join(pos.as("r"),
+        col("l.doc_id") === col("r.doc_id") &&
+          col("r.p") > col("l.p") && col("r.p") <= col("l.p") + 3 &&
+          col("l.tok") === lit(a) && col("r.tok") === lit(b)).count()
+      assert(brute == top.getAs[Long]("c_xy"),
+        s"lambda pair count ${top.getAs[Long]("c_xy")} != brute-force $brute for ($a,$b)")
+    } finally co.unpersist()
+  }
 }
