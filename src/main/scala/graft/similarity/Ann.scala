@@ -891,7 +891,180 @@ object Ann {
       FROM fused QUALIFY rnk <= 10"""),
     tags = Set("similarity"))
 
+  /** k-NN CLASSIFICATION (majority vote of the 5 nearest labelled
+    * neighbours, the evaluation-time primitive behind label
+    * propagation / weak supervision over an embedded corpus): exact
+    * quantized-cosine top-5 per query (self excluded), one
+    * (query, label) vote count, winner = (votes desc, label asc) —
+    * every stage integer-deterministic. Joined back against the
+    * query's own label so the output doubles as a per-query accuracy
+    * audit (`correct`). Scale: the probe set broadcasts exactly like
+    * [[cosineTopk]]; votes and the winner window are O(k·Q) rows —
+    * classification of a full corpus (Q = N) swaps the broadcast for
+    * [[ivfTopk]]'s inverted lists, same vote/winner tail. */
+  val knnClassify: GQuery = GQuery(
+    "ann_knn_classify",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), quant.as("qe"))
+      val c = emb.select(col("vec_id"), quant.as("ce"), col("label"))
+      val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val knn = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("dot", expr("dot_long(qe, ce)"))
+        .withColumn("qn", expr("dot_long(qe, qe)"))
+        .withColumn("cn", expr("dot_long(ce, ce)"))
+        .withColumn("cosine",
+          col("dot").cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+        .withColumn("r", row_number().over(wk).cast("long"))
+        .filter(col("r") <= K)
+      val wv = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+      knn.groupBy(col("query_id"), col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label")), "query_id")
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"),
+          col("true_label"),
+          when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+    },
+    Some(s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+                  FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT) AS dot
+                FROM qv q, qv c WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
+      scored AS (SELECT query_id, pairs.vec_id AS vec_id, dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+                 FROM pairs JOIN norms nq ON query_id = nq.vec_id
+                            JOIN norms nc ON pairs.vec_id = nc.vec_id),
+      knn AS (SELECT query_id, vec_id,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS r
+              FROM scored QUALIFY r <= $K),
+      votes AS (SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*)::BIGINT AS votes
+                FROM knn JOIN embeddings e ON knn.vec_id = e.vec_id GROUP BY 1, 2),
+      pick AS (SELECT query_id, label AS pred_label, votes,
+                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS BIGINT) AS rk
+               FROM votes QUALIFY rk = 1)
+      SELECT query_id, pred_label, votes, CAST(t.label AS BIGINT) AS true_label,
+             CAST(pred_label = t.label AS BIGINT) AS correct
+      FROM pick JOIN embeddings t ON pick.query_id = t.vec_id"""),
+    tags = Set("similarity"))
+
+  /** MMR DIVERSIFIED RE-RANKING (Carbonell/Goldstein maximal marginal
+    * relevance, the standard result-diversification pass after any
+    * top-k retrieval): greedily pick 5 of the top-20 candidates
+    * maximizing `0.7·rel − 0.3·max-sim-to-already-picked`. The greedy
+    * loop is inherently sequential in k, so it is UNROLLED into 4
+    * static join rounds — but every round's frames are bounded by the
+    * fixed candidate set (≤20 rows and one 20×20 sim block per
+    * query) and keyed by query_id, so a million concurrent queries
+    * diversify embarrassingly parallel with zero cross-query
+    * coordination; nothing in the plan grows with the corpus (only
+    * [[cosineTopk]]'s candidate generation sees N). Determinism: rel
+    * and pairwise sims are unrounded doubles from exact quantized
+    * integers, λ = 0.7 parses to the identical IEEE double in both
+    * engines, ties break on vec_id; only the emitted score rounds
+    * (6 dp). */
+  val mmrRerank: GQuery = GQuery(
+    "ann_mmr_rerank",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), quant.as("qe"))
+      val c = emb.select(col("vec_id"), quant.as("e"))
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val cand = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr("dot_long(qe, e)").cast("double") /
+            (sqrt(expr("dot_long(qe, qe)").cast("double")) *
+              sqrt(expr("dot_long(e, e)").cast("double"))))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= 20)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("e"))
+      val sims = cand.select(col("query_id"), col("vec_id").as("va"), col("e").as("ea"))
+        .join(cand.select(col("query_id"), col("vec_id").as("vb"), col("e").as("eb")),
+          Seq("query_id"))
+        .filter(col("va") =!= col("vb"))
+        .withColumn("sim",
+          expr("dot_long(ea, eb)").cast("double") /
+            (sqrt(expr("dot_long(ea, ea)").cast("double")) *
+              sqrt(expr("dot_long(eb, eb)").cast("double"))))
+        .select(col("query_id"), col("va"), col("vb"), col("sim"))
+      val bare = cand.select(col("query_id"), col("vec_id"), col("cosine"))
+      var sel = bare
+        .withColumn("pk", row_number().over(wc))
+        .filter(col("pk") === 1)
+        .select(col("query_id"), col("vec_id"),
+          (lit(0.7) * col("cosine")).as("score"), lit(1L).as("round"))
+      for (r <- 2 to 5) {
+        val picked = sel.select(col("query_id"), col("vec_id"))
+        val ms = sims
+          .join(picked.withColumnRenamed("vec_id", "vb"), Seq("query_id", "vb"))
+          .groupBy(col("query_id"), col("va").as("vec_id"))
+          .agg(max(col("sim")).as("m"))
+        val ws = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+        val next = bare
+          .join(ms, Seq("query_id", "vec_id"))
+          .join(picked, Seq("query_id", "vec_id"), "left_anti")
+          .withColumn("score", lit(0.7) * col("cosine") - lit(0.3) * col("m"))
+          .withColumn("pk", row_number().over(ws))
+          .filter(col("pk") === 1)
+          .select(col("query_id"), col("vec_id"), col("score"), lit(r.toLong).as("round"))
+        sel = sel.unionByName(next)
+      }
+      sel.select(col("query_id"), col("vec_id"), col("round"),
+        round(col("score"), 6).as("mmr6"))
+    },
+    Some {
+      val base = s"""
+      WITH qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e FROM embeddings),
+      norms AS (SELECT vec_id, CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nn FROM qv),
+      rel AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])) AS BIGINT)
+                       / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+              FROM qv q JOIN norms nq ON q.vec_id = nq.vec_id,
+                   qv c JOIN norms nc ON c.vec_id = nc.vec_id
+              WHERE q.vec_id < $N_QUERIES AND c.vec_id <> q.vec_id),
+      cand AS (SELECT query_id, vec_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+               FROM rel QUALIFY rk <= 20),
+      sims AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+                      CAST(list_sum(list_transform(list_zip(ea.e, eb.e), p -> p[1] * p[2])) AS BIGINT)
+                        / (sqrt(na.nn) * sqrt(nb.nn)) AS sim
+               FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+               JOIN qv ea ON a.vec_id = ea.vec_id JOIN qv eb ON b.vec_id = eb.vec_id
+               JOIN norms na ON a.vec_id = na.vec_id JOIN norms nb ON b.vec_id = nb.vec_id),
+      s1 AS (SELECT query_id, vec_id, CAST(0.7 AS DOUBLE) * cosine AS score, 1 AS round
+             FROM cand WHERE rk = 1),"""
+      val rounds = (2 to 5).map { r =>
+        val prev = (1 until r).map(i => s"SELECT query_id, vec_id FROM s$i").mkString(" UNION ALL ")
+        s"""
+      p$r AS ($prev),
+      s$r AS (SELECT query_id, vec_id, score, $r AS round FROM (
+        SELECT c.query_id, c.vec_id,
+               CAST(0.7 AS DOUBLE) * c.cosine - CAST(0.3 AS DOUBLE) * ms.m AS score,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 (CAST(0.7 AS DOUBLE) * c.cosine - CAST(0.3 AS DOUBLE) * ms.m) DESC, c.vec_id) AS pk
+        FROM cand c
+        JOIN (SELECT s.query_id, s.va AS vec_id, max(s.sim) AS m
+              FROM sims s JOIN p$r p ON s.query_id = p.query_id AND s.vb = p.vec_id
+              GROUP BY 1, 2) ms ON c.query_id = ms.query_id AND c.vec_id = ms.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM p$r x WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+      ) WHERE pk = 1),"""
+      }.mkString
+      base + rounds.stripSuffix(",") + """
+      SELECT query_id, vec_id, CAST(round AS BIGINT) AS round, round(score, 6) AS mmr6
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+            UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)"""
+    },
+    tags = Set("similarity"))
+
   def all: Seq[GQuery] =
     Seq(cosineTopk, lshTopk, rangeSearch, filteredTopk, ivfTopk, ivfBalancedKey,
-      pqTopk, centroids, recallEval, hybridRrf)
+      pqTopk, centroids, recallEval, hybridRrf, knnClassify, mmrRerank)
 }

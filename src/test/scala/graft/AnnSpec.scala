@@ -239,4 +239,47 @@ class AnnSpec extends SparkSpecBase {
         s"fused score outside [$mn, $mx] — not on the truncated-list RRF grid")
     } finally got.unpersist()
   }
+
+  test("knn classification votes are a valid 5-neighbour majority") {
+    val got = SparkEntry.queries("ann_knn_classify")(spark, sfDir).cache()
+    try {
+      assert(got.count() == 10, "one verdict per query")
+      assert(got.filter(col("votes") < 1 || col("votes") > 5).isEmpty)
+      assert(got.filter(col("correct") =!=
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).isEmpty)
+      // true_label must be the query's own label from the corpus
+      val emb = sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("query_id"), col("label").cast("long").as("lbl"))
+      assert(got.join(emb, "query_id").filter(col("true_label") =!= col("lbl")).isEmpty)
+    } finally got.unpersist()
+  }
+
+  test("mmr rerank: 5 dense rounds, no repeats, greedy scores non-increasing") {
+    val got = SparkEntry.queries("ann_mmr_rerank")(spark, sfDir).cache()
+    try {
+      val perQ = got.groupBy(col("query_id")).agg(
+        count(lit(1)).as("m"), countDistinct(col("vec_id")).as("dv"),
+        max(col("round")).as("mx"), min(col("round")).as("mn"),
+        countDistinct(col("round")).as("dr"))
+      assert(perQ.filter(col("m") =!= 5 || col("dv") =!= 5 ||
+        col("mx") =!= 5 || col("mn") =!= 1 || col("dr") =!= 5).isEmpty,
+        "each query must pick 5 distinct docs across dense rounds 1..5")
+      assert(got.select(col("query_id")).distinct().count() == 10)
+      // greedy MMR's max attainable score can only fall: every
+      // candidate's penalty grows with the selected set and the
+      // argmax ranges over a shrinking pool
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id")).orderBy(col("round"))
+      assert(got.withColumn("prev", lag(col("mmr6"), 1).over(w))
+        .filter(col("prev").isNotNull && col("mmr6") > col("prev") + 1e-9).isEmpty,
+        "greedy pick score increased between rounds")
+      // round 1 is the pure-relevance argmax: it must equal the
+      // exact brute-force top-1 neighbour (ann_cosine_topk rnk 1)
+      val top1 = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+        .filter(col("rnk") === 1).select(col("query_id"), col("vec_id").as("bf"))
+      assert(got.filter(col("round") === 1).join(top1, "query_id")
+        .filter(col("vec_id") =!= col("bf")).isEmpty,
+        "MMR round 1 must be the relevance argmax")
+    } finally got.unpersist()
+  }
 }
