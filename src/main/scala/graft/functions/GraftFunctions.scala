@@ -237,6 +237,117 @@ object CharEntropyStats {
   }
 }
 
+/** Bounded TOP-K as a TYPED AGGREGATE — the (b)-tier extension point:
+  * a heap-based `TypedImperativeAggregate` whose partial state is at
+  * most k (score, payload) pairs per group per partition. The window
+  * spelling (`row_number() OVER (... ORDER BY score) <= k`) must
+  * shuffle and SORT every row of every group; this aggregate's
+  * map-side combine ships ≤ k·partitions rows per group across the
+  * wire and never sorts the data — the standard distributed top-k
+  * plan, and the reason result pages don't cost a terasort at 100 TB.
+  *
+  * Semantics: keep the k largest by (score DESC, payload ASC) —
+  * ties keep the SMALLER payload, so results are total-order
+  * deterministic. Nulls in either argument are skipped. `eval` emits
+  * the kept pairs best-first as `array<struct<score,payload>>`.
+  * State serializes as 8-byte pairs (heap order — rebuild is
+  * order-insensitive). k is a literal bounded to [1, 1024]: the
+  * buffer bound IS the contract (a huge k belongs to a window, not a
+  * heap).
+  */
+case class TopKLong(
+    score: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]]
+  with ExpectsInputTypes {
+
+  require(k >= 1 && k <= 1024, s"top_k_long: k must be in [1, 1024], got $k")
+
+  // worst-first heap order: head = element to evict — the SMALLEST
+  // score, ties broken toward the LARGEST payload (which we least
+  // want to keep under the payload-ASC output order)
+  private val cmp: java.util.Comparator[Array[Long]] =
+    new java.util.Comparator[Array[Long]] with Serializable {
+      override def compare(a: Array[Long], b: Array[Long]): Int = {
+        val c = java.lang.Long.compare(a(0), b(0))
+        if (c != 0) c else java.lang.Long.compare(b(1), a(1))
+      }
+    }
+
+  override def children: Seq[Expression] = Seq(score, payload)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("score", LongType, nullable = false)
+      .add("payload", LongType, nullable = false),
+    containsNull = false)
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](k + 1, cmp)
+
+  private def insert(buf: java.util.PriorityQueue[Array[Long]], s: Long, p: Long): Unit = {
+    if (buf.size < k) { buf.add(Array(s, p)); () }
+    else {
+      val e = Array(s, p)
+      if (cmp.compare(e, buf.peek()) > 0) { buf.poll(); buf.add(e); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.PriorityQueue[Array[Long]],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val s = score.eval(input)
+    val p = payload.eval(input)
+    if (s != null && p != null) insert(buf, s.asInstanceOf[Long], p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      b1: java.util.PriorityQueue[Array[Long]],
+      b2: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+    val it = b2.iterator()
+    while (it.hasNext) { val e = it.next(); insert(b1, e(0), e(1)) }
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    // best-first output: score DESC, payload ASC
+    java.util.Arrays.sort(arr, cmp.reversed())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(e => new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e(0), e(1))): Any))
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e(0)); bb.putLong(e(1)) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { insert(buf, bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), payload = newChildren(1))
+  override def prettyName: String = "top_k_long"
+}
+
 /** Registration surfaces for graft's native functions. */
 object GraftFunctions {
 
@@ -257,6 +368,10 @@ object GraftFunctions {
     ("char_entropy", new ExpressionInfo(classOf[CharEntropyStats].getName, "char_entropy"), { args =>
       require(args.length == 1, s"char_entropy expects 1 argument, got ${args.length}")
       CharEntropyStats(args.head)
+    }),
+    ("top_k_long", new ExpressionInfo(classOf[TopKLong].getName, "top_k_long"), { args =>
+      require(args.length == 3, s"top_k_long expects (score, payload, k), got ${args.length} args")
+      TopKLong(args.head, args(1), intLit(args(2), "k"))
     }))
 
   /** Idempotent in-session registration; afterwards

@@ -1481,6 +1481,41 @@ object Relational {
       ORDER BY d1, d2"""),
     tags = Set("relational"))
 
+  /** Grouped top-k via the native bounded-heap aggregate
+    * [[graft.functions.TopKLong]] (`top_k_long`) — the plan
+    * [[topkPerGroup]]'s window spelling can't reach: the window must
+    * exchange and SORT every row of every group before row_number can
+    * cut, while the typed aggregate's map-side combine holds ≤ k
+    * pairs per (group, partition) and ships only those — top-k at
+    * 100 TB costs a scan plus a k-row-per-group merge, not a
+    * terasort. Output is exploded back to rows with a dense rnk so
+    * the frame is oracle-comparable against the window spelling —
+    * agreement IS the aggregate's correctness proof (both total
+    * orders: score DESC, key ASC). */
+  val topkAgg: GQuery = GQuery(
+    "op_topk_agg",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("top_k_long(cents, o_orderkey, 5)").as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("o_orderpriority"), (col("i") + 1).cast("long").as("rnk"),
+          col("e.score").as("cents"), col("e.payload").as("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderpriority, rnk, cents, o_orderkey FROM (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey) AS BIGINT) AS rnk
+        FROM orders) WHERE rnk <= 5"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1490,5 +1525,5 @@ object Relational {
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
     profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame,
-    heavyHitters, fuzzyJoin)
+    heavyHitters, fuzzyJoin, topkAgg)
 }

@@ -184,4 +184,38 @@ class FunctionsSpec extends SparkSpecBase {
       .head().getInt(0) > 0)
     assert(s2.sql("SELECT char_entropy('abab').n_chars AS c").head().getLong(0) == 4L)
   }
+
+  test("top_k_long keeps the k best with deterministic ties across partial merges") {
+    graft.functions.GraftFunctions.register(spark)
+    import TestSession.spark.implicits._
+    // 1000 rows over 8 partitions forces real partial-buffer merges;
+    // scores collide heavily (mod 10) so the payload-ASC tie rule is
+    // exercised at every boundary
+    val df = spark.range(1000).repartition(8)
+      .selectExpr("CAST(id % 10 AS BIGINT) AS s", "id AS p", "CAST(id % 2 AS INT) AS g")
+    val got = df.groupBy($"g")
+      .agg(expr("top_k_long(s, p, 7)").as("tk"))
+      .selectExpr("g", "posexplode(tk) AS (i, e)")
+      .select($"g", $"i", $"e.score", $"e.payload")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // window-spelled reference: score DESC, payload ASC
+    val ref = (0L until 1000L).map(id => (id % 2, id % 10, id))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        rows.sortBy { case (_, s, p) => (-s, p) }.take(7).zipWithIndex
+          .map { case ((_, s, p), i) => (g.toInt, i, s, p) }
+      }.toSet
+    assert(got.length == 14 && got.toSet == ref,
+      s"heap aggregate diverges from the window reference: ${got.toSeq.sorted}")
+    // k > group size: emits the whole group, never pads
+    val small = spark.range(3)
+      .selectExpr("id AS s", "id AS p")
+      .agg(expr("top_k_long(s, p, 1000)").as("tk"))
+      .selectExpr("size(tk) AS n").head().getInt(0)
+    assert(small == 3)
+    // nulls are skipped, not kept as zeros
+    val withNull = spark.sql(
+      "SELECT top_k_long(s, p, 5) AS tk FROM VALUES (1L, 1L), (CAST(NULL AS BIGINT), 2L), (3L, CAST(NULL AS BIGINT)) t(s, p)")
+      .selectExpr("size(tk) AS n").head().getInt(0)
+    assert(withNull == 1)
+  }
 }
