@@ -383,10 +383,14 @@ object GraftFunctions {
     }
 
   /** For `spark.sql.extensions=graft.functions.GraftExtensions`. */
-  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // conf-gated (spark.graft.topk.rewrite, default false): present in
+    // every session, inert until a session opts in
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }
 
 /** Session-extensions entry point (config-time injection, the way a

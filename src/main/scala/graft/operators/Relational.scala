@@ -1516,6 +1516,45 @@ object Relational {
         FROM orders) WHERE rnk <= 5"""),
     tags = Set("relational"))
 
+  /** The WINDOW spelling of grouped top-k, auto-routed to the
+    * bounded-heap aggregate by the Catalyst optimizer rule
+    * [[graft.plans.TopKRewrite]] (opted in via
+    * `spark.graft.topk.rewrite` on this key's own session — the same
+    * per-key session-conf scoping as the bucketed-layout consumers).
+    * The USER writes `row_number().over(...) <= k`; the OPTIMIZER
+    * proves the pattern safe (single row_number, non-nullable long
+    * (DESC, ASC) order, no rider columns, literal k within the heap
+    * contract) and substitutes [[topkAgg]]'s plan — top-k without a
+    * per-group sort, from unchanged user code. The oracle is the
+    * window semantics itself, so a misfiring rewrite fails
+    * correctness, not just a spec; TopKRewriteSpec additionally pins
+    * the aggregate in the optimized plan, result-equality with the
+    * rule off, and a no-misfire case with a rider column. */
+  val topkRewrite: GQuery = GQuery(
+    "op_topk_rewrite",
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.graft.topk.rewrite", "true")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents").desc, col("okey"))
+      Tables.lineitem(ss, dir)
+        .select(col("l_returnflag"),
+          coalesce(floor(col("l_extendedprice") * 100 + 0.5).cast("long"), lit(0L))
+            .as("cents"),
+          coalesce(col("l_orderkey"), lit(0L)).as("okey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 7)
+    },
+    Some("""
+      SELECT l_returnflag, cents, okey, rnk FROM (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               l_orderkey AS okey,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY floor(l_extendedprice * 100 + 0.5) DESC, l_orderkey) AS INT) AS rnk
+        FROM lineitem) WHERE rnk <= 7"""),
+    tags = Set("relational"))
+
   def all: Seq[GQuery] = Seq(
     windowRank, windowRunning, topkPerGroup, rollup, cube, groupingSets,
     pivot, unpivot, semiJoin, antiJoin, fullOuterJoin, unionExceptIntersect,
@@ -1525,5 +1564,5 @@ object Relational {
     gapFill, funnel, retentionCohort, histogram, minmaxBy,
     mergeIntervals, cdcApply, skyline, cumulativeReach, anomalyTrailing,
     profileColumns, streaks, sketchMerge, prorate, incrementalAgg, rangeFrame,
-    heavyHitters, fuzzyJoin, topkAgg)
+    heavyHitters, fuzzyJoin, topkAgg, topkRewrite)
 }

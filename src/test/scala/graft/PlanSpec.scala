@@ -22,6 +22,8 @@ class PlanSpec extends SparkSpecBase {
       "gen_partsupp_join", "gen_source_format", "gen_aux_profile",
       "pipeline_domain_mix", "pipeline_shuffle_shard", "pipeline_token_mix",
       "text_keywords", "graph_triangles", "ann_recall_eval",
+      // broadcast query-probe retrieval (same shape as ann_cosine_topk)
+      "ann_hybrid_rrf", "ann_knn_classify", "ann_mmr_rerank",
       // 1-row-aggregate cross joins only: the audit's checked-count
       // attach, the per-round census assembly, and the incremental
       // aggregate's scalar cutoff
@@ -29,6 +31,12 @@ class PlanSpec extends SparkSpecBase {
       // heavy hitters: both passes attach the broadcast 1-row token
       // total (the relative-support threshold) via crossJoin
       "op_heavy_hitters",
+      // regression stats: x-offsets anchor to a broadcast 1-row
+      // corpus-min scalar via crossJoin
+      "op_regression_stats",
+      // collocations: lift attaches the broadcast 1-row n_pairs
+      // scalar via crossJoin
+      "text_cooccurrence",
       // q11's HAVING total: the per-group frame crossJoins a broadcast
       // 1-row re-aggregate of itself (Sinks.q11Bucketed scaladoc);
       // q22's rewrite crossJoins its broadcast 1-row avg the same way
