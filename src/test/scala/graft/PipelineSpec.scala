@@ -310,4 +310,34 @@ class PipelineSpec extends SparkSpecBase {
       assert(diff == 0, s"$diff docs disagree with the independent recount")
     } finally got.unpersist()
   }
+
+  test("cap_per_group: exactly min(n, |group|) per source, window-free heap plan") {
+    val df = SparkEntry.queries("pipeline_cap_per_group")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "the cap must not plan a window")
+    assert(plan.contains("top_k_long"), "expected the bounded-heap aggregate")
+    val got = df.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet, "every source must survive the cap")
+    sizes.foreach { case (src, c) =>
+      assert(got(src) == math.min(15L, c), s"$src: ${got(src)} != min(15, $c)")
+    }
+    // picked set identical to the window spelling (the oracle's shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h").desc, col("doc_id"))
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 15)
+      .select(col("source"), col("rn"), col("doc_id"), col("h"))
+      .orderBy("source", "rn").collect().map(_.toSeq).toSeq
+    val gotRows = df.orderBy("source", "rn").collect().map(_.toSeq).toSeq
+    assert(gotRows == want, "heap pick diverges from the window spelling")
+  }
 }
