@@ -968,7 +968,19 @@ object Ann {
     * and pairwise sims are unrounded doubles from exact quantized
     * integers, λ = 0.7 parses to the identical IEEE double in both
     * engines, ties break on vec_id; only the emitted score rounds
-    * (6 dp). */
+    * (6 dp).
+    *
+    * Lineage discipline (the [[graft.graph.Graph]] kcore lesson,
+    * A/B-measured at sf0.1, dev/BENCH_NOTES.md): the three iterated
+    * frames — cand, sims, and each round's picked set — are EAGER
+    * localCheckpoints, truncating the plan that otherwise regrows
+    * through the 4 unrolled rounds: 12.8 s lineage-recomputed →
+    * 3.3 s checkpointed (health-accepted). `persist()` instead of
+    * checkpointing was tried and REFUTED (32.6 s: it defeats the
+    * ReusedExchange dedup of the candidate subtree and replaces it
+    * with InMemoryRelation round trips). All checkpointed frames are
+    * probe-sized (≤ 20 rows and one 20×20 block per query), never
+    * corpus-sized. */
   val mmrRerank: GQuery = GQuery(
     "ann_mmr_rerank",
     (s, dir) => {
@@ -986,6 +998,7 @@ object Ann {
         .withColumn("rk", row_number().over(wc))
         .filter(col("rk") <= 20)
         .select(col("query_id"), col("vec_id"), col("cosine"), col("e"))
+        .localCheckpoint()
       val sims = cand.select(col("query_id"), col("vec_id").as("va"), col("e").as("ea"))
         .join(cand.select(col("query_id"), col("vec_id").as("vb"), col("e").as("eb")),
           Seq("query_id"))
@@ -995,6 +1008,7 @@ object Ann {
             (sqrt(expr("dot_long(ea, ea)").cast("double")) *
               sqrt(expr("dot_long(eb, eb)").cast("double"))))
         .select(col("query_id"), col("va"), col("vb"), col("sim"))
+        .localCheckpoint()
       val bare = cand.select(col("query_id"), col("vec_id"), col("cosine"))
       var sel = bare
         .withColumn("pk", row_number().over(wc))
@@ -1002,7 +1016,7 @@ object Ann {
         .select(col("query_id"), col("vec_id"),
           (lit(0.7) * col("cosine")).as("score"), lit(1L).as("round"))
       for (r <- 2 to 5) {
-        val picked = sel.select(col("query_id"), col("vec_id"))
+        val picked = sel.select(col("query_id"), col("vec_id")).localCheckpoint()
         val ms = sims
           .join(picked.withColumnRenamed("vec_id", "vb"), Seq("query_id", "vb"))
           .groupBy(col("query_id"), col("va").as("vec_id"))

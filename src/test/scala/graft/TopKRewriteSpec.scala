@@ -113,4 +113,59 @@ class TopKRewriteSpec extends SparkSpecBase {
     val q = topk(frame(spark), 5)
     assert(!hasTopK(q) && hasWindow(q))
   }
+
+  test("conjunctive filter: bound extracted, full predicate preserved") {
+    val ss = onSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
+    def q(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("g") > 2)
+    assert(hasTopK(q(ss)) && !hasWindow(q(ss)))
+    val got = q(ss).orderBy("g", "rn").collect().map(_.toSeq).toSeq
+    val want = q(spark).orderBy("g", "rn").collect().map(_.toSeq).toSeq
+    assert(got == want && got.length == 25) // groups 3..7, top 5 each
+  }
+
+  test("strict and equality spellings: rn < 6 and rn === 3 both rewrite") {
+    val ss = onSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
+    def lt(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") < 6)
+    def eq(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 3)
+    assert(hasTopK(lt(ss)) && hasTopK(eq(ss)))
+    assert(lt(ss).orderBy("g", "rn").collect().map(_.toSeq).toSeq ==
+      lt(spark).orderBy("g", "rn").collect().map(_.toSeq).toSeq)
+    val got = eq(ss).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(got == eq(spark).orderBy("g").collect().map(_.toSeq).toSeq)
+    assert(got.length == 8 && got.forall(_.last == 3))
+  }
+
+  test("int order attrs rewrite via lossless casts and restore their type") {
+    val ss = onSession()
+    val df = ss.range(0, 2000).select(
+      col("id").bitwiseAND(7).cast("int").as("g"),
+      (col("id") * 37).bitwiseAND(63).cast("int").as("s"),
+      col("id").cast("int").as("p"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    assert(hasTopK(q) && !hasWindow(q))
+    assert(q.schema.fields.map(_.dataType.typeName).toSeq ==
+      Seq("integer", "integer", "integer", "integer"))
+    val off = spark.newSession()
+    val dfOff = off.range(0, 2000).select(
+      col("id").bitwiseAND(7).cast("int").as("g"),
+      (col("id") * 37).bitwiseAND(63).cast("int").as("s"),
+      col("id").cast("int").as("p"))
+    val control = dfOff.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    assert(q.orderBy("g", "rn").collect().map(_.toSeq).toSeq ==
+      control.orderBy("g", "rn").collect().map(_.toSeq).toSeq)
+  }
+
+  test("no misfire: lower-bound-only predicate has no k to extract") {
+    val ss = onSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
+    val q = frame(ss).withColumn("rn", row_number().over(w)).filter(col("rn") >= 2)
+    assert(!hasTopK(q) && hasWindow(q))
+  }
 }
