@@ -90,7 +90,13 @@ object BenchFormat {
     *                 gate (warm sentinel ≤ the sf-scaled idle ceiling
     *                 AND steal ≤ 1%); a rejected line is an upper
     *                 bound, never the artifact of record. Empty = omit
-    *                 (spec fixtures). */
+    *                 (spec fixtures).
+    * @param chunks   (total, accepted, retries) for the family-chunked
+    *                 health gates (r16 verdict #1): the suite runs in
+    *                 sentinel-bracketed chunks, rejected chunks retry
+    *                 after a backoff, and `health` above is "accepted"
+    *                 iff every chunk earned one accepted attempt.
+    *                 (0,0,0) = chunking off (spec fixtures / legacy). */
   def lines(
       results: Seq[(String, Either[String, Seq[Double]])],
       sfNum: String,
@@ -103,7 +109,8 @@ object BenchFormat {
       notComparable: Set[String] = Set.empty,
       health: String = "",
       warmMid: Seq[Double] = Nil,
-      layoutSec: Double = -1): Lines = {
+      layoutSec: Double = -1,
+      chunks: (Int, Int, Int) = (0, 0, 0)): Lines = {
     val ok = results.collect { case (k, Right(ts)) => (k, ts) }
     val failed = results.collect { case (k, Left(_)) => k }
     val total = ok.map(_._2.head).sum
@@ -191,9 +198,17 @@ object BenchFormat {
     // bucketed consumer keys measure queries, not the write (r15
     // verdict #4); the write cost stays priced — in its own field
     val layoutJson = if (layoutSec < 0) "" else s""","layout_build":${f2(layoutSec)}"""
+    // chunked health gates (r16 verdict #1): how many sentinel-bracketed
+    // chunks ran, how many earned an accepted attempt, and how many
+    // retry attempts the storm cost; per-chunk detail lives in
+    // dev/bench_last.json (size-unbounded channel)
+    val chunksJson = chunks match {
+      case (0, 0, 0) => ""
+      case (t, a, r) => s""","chunks":{"n":$t,"acc":$a,"retry":$r}"""
+    }
     def compactWith(hiddenN: Int, hiddenMax: Double): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
-        s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}]$warmMidJson$layoutJson,""" +
+        s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}]$warmMidJson$layoutJson$chunksJson,""" +
         s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$healthJson$floorJson$duckJson,"slow":$slow""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""

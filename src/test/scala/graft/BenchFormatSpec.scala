@@ -33,17 +33,51 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("compact line fits the tail window behind a worst-case sbt trailer") {
     // worst case: every key slow (wide values), n=7 spreads, 5 failures,
-    // a full 8-probe warm_mid vector and a layout_build field
+    // a per-chunk warm_mid vector at the CURRENT registry's chunk count
+    // (plus slack), the chunks gate triple, and a layout_build field
+    val chunkCount = Bench.chunkPlan(keys, 12).size
     val wide = keys.map(_ -> Seq(987.65, 991.0, 999.99)).toMap
     val l = BenchFormat.lines(res(wide, failed = keys.take(5).toSet),
       sfNum = "100", n = 7, warm3 = Seq(99.99, 100.0, 101.55),
       loads = (31.99, 32.01), stealPct = 1.25,
-      warmMid = Seq.fill(8)(101.55), layoutSec = 999.99)
+      warmMid = Seq.fill(chunkCount + 8)(101.55), layoutSec = 999.99,
+      chunks = (chunkCount, chunkCount - 3, 9))
     assert(l.compact.length + BenchFormat.TrailerWorst + 2 <= BenchFormat.TailWindow,
       s"compact line ${l.compact.length} chars cannot parse behind the sbt trailer")
     // and with generous margin in the realistic case
     val quiet = mk(res(Map.empty), "0.1", 3, Seq(0.2, 0.31, 0.3), (0.1, 0.2))
     assert(quiet.compact.length < 700, s"compact grew to ${quiet.compact.length} chars")
+  }
+
+  test("chunks gate triple rides the compact line only when chunking ran") {
+    val times = keys.map(_ -> Seq(0.2, 0.25, 0.3)).toMap
+    val without = mk(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1))
+    assert(!without.compact.contains("\"chunks\""))
+    val l = BenchFormat.lines(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1),
+      stealPct = 0.1, health = "accepted", chunks = (24, 24, 2))
+    val c = parse(l.compact) \ "chunks"
+    assert((c \ "n") == JInt(24) && (c \ "acc") == JInt(24) && (c \ "retry") == JInt(2))
+  }
+
+  test("chunkPlan is a deterministic family partition of the key set") {
+    val plan = Bench.chunkPlan(keys, 12)
+    // exact partition: every key in exactly one chunk
+    assert(plan.flatMap(_._2).sorted == keys.sorted)
+    assert(plan.map(_._1).distinct.size == plan.size, "duplicate chunk names")
+    plan.foreach { case (cn, ks) =>
+      assert(ks.size <= 12, s"$cn has ${ks.size} keys")
+      assert(ks.map(Bench.familyOf).distinct.size == 1, s"$cn mixes families")
+    }
+    // family routing: full-suite keys (incl. bucketed/rewrite arms)
+    // never share a chunk with the adapted suite
+    assert(Bench.familyOf("q21_full_bucketed") == "tpchfull")
+    assert(Bench.familyOf("q22_full_anti_rewrite") == "tpchfull")
+    assert(Bench.familyOf("q1_full") == "tpchfull")
+    assert(Bench.familyOf("q1_pricing_summary") == "tpch")
+    assert(Bench.familyOf("op_fuzzy_join") == "op")
+    assert(Bench.familyOf("pipeline_curate") == "pipeline")
+    // deterministic across calls (retry contract)
+    assert(plan == Bench.chunkPlan(keys, 12))
   }
 
   test("both lines are valid JSON with the contract fields; slow carries 5 spreads undropped") {
