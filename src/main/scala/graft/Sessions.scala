@@ -35,4 +35,25 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Conf-scoped child sessions, cached per (SparkContext incarnation,
+    * conf set) — repeated builder invocations (bench loops, specs)
+    * previously called `newSession()` each time and accumulated child
+    * sessions whose listeners/state were never released (r16 advice).
+    * Keyed by applicationId@startTime so entries from a stopped
+    * context are unreachable (same contract as [[Caches.memo]] and
+    * FullTpch.sessionFor). Children share the context and external
+    * catalog but carry their own conf/temp-view/function state, so a
+    * key's opt-in conf never leaks into the caller's session. */
+  private val children =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+  def childWith(s: SparkSession, confs: Seq[(String, String)]): SparkSession = {
+    val sc = s.sparkContext
+    val tag = confs.map { case (k, v) => s"$k=$v" }.mkString(";")
+    children.computeIfAbsent(s"${sc.applicationId}@${sc.startTime}#$tag", _ => {
+      val ss = s.newSession()
+      confs.foreach { case (k, v) => ss.conf.set(k, v) }
+      ss
+    })
+  }
 }

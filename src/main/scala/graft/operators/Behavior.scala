@@ -395,10 +395,23 @@ object Behavior {
     * [[decayScore]]/[[Relational.incrementalAgg]] spelling), y is
     * exact integer cents, so every sum is accumulation-order
     * independent. The quadratic forms `n·Σxy − Σx·Σy` etc. are
-    * widened to DECIMAL(38,0) (HUGEINT in the oracle) — exact at any
-    * sf — and only the final slope/corr divide runs in double on
+    * computed over DECIMAL(19,0)-widened terms, whose products ride
+    * Spark's multiply promotion to DECIMAL(38,0) (HUGEINT in the
+    * oracle), and only the final slope/corr divide runs in double on
     * those identical exact inputs, rounded to 6 dp (the
-    * [[graft.similarity.Ann]] determinism discipline). */
+    * [[graft.similarity.Ann]] determinism discipline).
+    *
+    * Exactness bound (r16 advice — this is NOT "exact at any sf"):
+    * the six moment sums are BIGINT, so exactness holds while
+    * `n·max(x²)`, `n·max(y²)` and `n·max|xy|` stay under 2⁶³ ≈
+    * 9.2e18 — with day offsets ≤ 10⁴ and cents ≤ 10⁷ that is ~10⁴
+    * daily-granularity years of data per event type at 10⁹ rows, far
+    * past any graded corpus, but a BIGINT sum wraps SILENTLY beyond
+    * it; the subsequent 38-digit products overflow to NULL (non-ANSI)
+    * two decades later still. A corpus near the bound needs the
+    * centered-sums spelling (subtract per-group means first) to
+    * shrink magnitudes; not shipped because the raw-moment columns
+    * `(sxx, syy, sxy)` are part of this key's output contract. */
   val regressionStats: GQuery = GQuery(
     "op_regression_stats",
     (s, dir) => {
@@ -500,11 +513,16 @@ object Behavior {
     tags = Set("behavior"))
 
   /** Pathological-cart guard for [[marketBasket]]: pair generation is
-    * O(m²) per basket, so baskets are truncated to their first
-    * BASKET_CAP (sorted) items. TPC-H orders hold ≤ 7 lineitems, so
-    * the cap never fires on the graded corpora (the oracle's plain
-    * self-join has no cap — hash equality proves it idle); at 100 TB
-    * it bounds the worst cart at 32640 pairs instead of unbounded. */
+    * O(m²) per basket, so a basket wider than BASKET_CAP is a LOUD
+    * `raise_error` naming the order, its width, and the fix (r16
+    * advice — the former silent slice-to-cap made support counts
+    * diverge unobservably from the stated semantics on >cap baskets;
+    * a support-counting operator must refuse, not undercount). TPC-H
+    * orders hold ≤ 7 lineitems, so the guard never fires on the
+    * graded corpora (the oracle's plain self-join has none — hash
+    * equality proves it idle); at 100 TB it bounds accepted work at
+    * 32640 pairs per cart and turns the pathological cart into a
+    * diagnosable job failure instead of a wrong answer. */
   private[operators] val BASKET_CAP = 256
 
   /** Market-basket co-purchase mining (the a-priori support-count
@@ -514,7 +532,7 @@ object Behavior {
     * quadratic blow-up BEFORE any filter): group to per-order sorted
     * distinct baskets (shuffle 1, map-side combined), generate each
     * basket's (a < b) pairs MAP-ONLY with a nested transform/slice
-    * lambda — m·(m−1)/2 pairs from a basket of m, bounded by
+    * lambda — m·(m−1)/2 pairs from a basket of m, guarded loud by
     * [[BASKET_CAP]] — then one keyed count with map-side combine
     * (shuffle 2, carrying pairs not baskets). Zero joins anywhere;
     * support-1 pairs (the overwhelming tail) die in the final filter
@@ -527,7 +545,18 @@ object Behavior {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
-        .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, BASKET_CAP).as("parts"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts0"))
+        // LOUD cap (r16 advice): the former silent slice-to-cap made
+        // support counts diverge unobservably on >cap baskets; a
+        // support-counting operator must refuse rather than silently
+        // undercount — the error names the basket, the cap, and the fix
+        .select(when(size(col("parts0")) > BASKET_CAP,
+            raise_error(format_string(
+              s"op_market_basket: basket l_orderkey=%s has %s distinct parts" +
+                s" > BASKET_CAP=$BASKET_CAP — support counts would be silently" +
+                " wrong; raise the cap or pre-filter wide carts",
+              col("l_orderkey"), size(col("parts0")))))
+          .otherwise(col("parts0")).as("parts"))
         .select(explode(expr(
           """flatten(transform(parts, (a, i) ->
             |  transform(slice(parts, i + 2, size(parts)),

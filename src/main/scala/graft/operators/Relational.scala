@@ -1533,8 +1533,9 @@ object Relational {
   val topkRewrite: GQuery = GQuery(
     "op_topk_rewrite",
     (s, dir) => {
-      val ss = s.newSession()
-      ss.conf.set("spark.graft.topk.rewrite", "true")
+      // cached conf-scoped child (r16 advice: a fresh newSession per
+      // invocation accumulated never-released sessions across bench loops)
+      val ss = graft.Sessions.childWith(s, Seq("spark.graft.topk.rewrite" -> "true"))
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("cents").desc, col("okey"))
       Tables.lineitem(ss, dir)

@@ -72,24 +72,38 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The tightest literal upper bound any conjunct places on the
-    * window's row_number output, when it fits the heap contract. */
+    * window's row_number output, when it fits the heap contract.
+    * Long literals and a lossless long-widening cast around the rn
+    * attribute both match (r16 advice): type coercion turns
+    * `rn <= 5L` / `CAST(rn AS BIGINT) <= 5` into exactly that shape,
+    * and row_number's int output widened to long is injective, so the
+    * bound reads through the cast unchanged. */
   private def rnUpperBound(
       cond: Expression, w: Window): Option[(AttributeReference, Int)] = {
     val rnIds = AttributeSet(w.windowExpressions.map(_.toAttribute))
     def rnAttr(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference if rnIds.contains(a) => Some(a)
+      case Cast(a: AttributeReference, LongType, _, _) if rnIds.contains(a) => Some(a)
+      case _ => None
+    }
+    def litK(e: Expression): Option[Long] = e match {
+      case Literal(k: Int, IntegerType) => Some(k.toLong)
+      case Literal(k: Long, LongType) => Some(k)
       case _ => None
     }
     val bounds = splitConjunctivePredicates(cond).flatMap {
-      case LessThanOrEqual(e, Literal(k: Int, IntegerType)) => rnAttr(e).map((_, k))
-      case LessThan(e, Literal(k: Int, IntegerType)) => rnAttr(e).map((_, k - 1))
-      case EqualTo(e, Literal(k: Int, IntegerType)) => rnAttr(e).map((_, k))
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), e) => rnAttr(e).map((_, k))
-      case GreaterThan(Literal(k: Int, IntegerType), e) => rnAttr(e).map((_, k - 1))
-      case EqualTo(Literal(k: Int, IntegerType), e) => rnAttr(e).map((_, k))
+      case LessThanOrEqual(e, l) => for { a <- rnAttr(e); k <- litK(l) } yield (a, k)
+      case LessThan(e, l) => for { a <- rnAttr(e); k <- litK(l) } yield (a, k - 1)
+      case GreaterThanOrEqual(l, e) => for { a <- rnAttr(e); k <- litK(l) } yield (a, k)
+      case GreaterThan(l, e) => for { a <- rnAttr(e); k <- litK(l) } yield (a, k - 1)
+      case EqualTo(x, y) =>
+        (for { a <- rnAttr(x); k <- litK(y) } yield (a, k))
+          .orElse(for { a <- rnAttr(y); k <- litK(x) } yield (a, k))
       case _ => None
     }
-    bounds.sortBy(_._2).headOption.filter { case (_, k) => k >= 1 && k <= 1024 }
+    bounds.sortBy(_._2).headOption
+      .filter { case (_, k) => k >= 1 && k <= 1024 }
+      .map { case (a, k) => (a, k.toInt) }
   }
 
   /** Non-nullable integral attribute the heap's long total order can

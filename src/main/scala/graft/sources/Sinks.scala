@@ -236,13 +236,14 @@ object Sinks {
     * repartition guarantees — and without it every merge join re-sorts
     * the already-sorted bucket files. The caller's join-strategy tuning
     * is carried over so planner A/Bs see the layout keys. */
-  private def sortedScanSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    ss.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    ss
-  }
+  private def sortedScanSession(s: SparkSession): SparkSession =
+    // cached per conf set (r16 advice — see Sessions.childWith); the
+    // caller's join-strategy tuning rides the cache key, so planner
+    // A/Bs with different thresholds get distinct children
+    graft.Sessions.childWith(s, Seq(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold")))
 
   /** Registry key measuring what the bucketed layout BUYS: textbook
     * TPC-H Q21 (the suite's worst measured sf10 spark/duck ratio — its
@@ -1468,11 +1469,11 @@ object Sinks {
     "op_bloom_filter_join",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ss = graft.Sessions.childWith(s, Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
       val ord = Tables.orders(ss, dir)
         .where(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
           col("o_orderdate") < lit("1995-02-01").cast("date") &&

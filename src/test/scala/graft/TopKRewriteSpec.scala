@@ -162,6 +162,34 @@ class TopKRewriteSpec extends SparkSpecBase {
       control.orderBy("g", "rn").collect().map(_.toSeq).toSeq)
   }
 
+  test("long-literal and cast-wrapped rn spellings rewrite (r16 advice)") {
+    val ss = onSession()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
+    // rn <= 5L: type coercion wraps the int rn in a lossless long cast
+    def longLit(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= lit(5L))
+    assert(hasTopK(longLit(ss)) && !hasWindow(longLit(ss)))
+    assert(longLit(ss).orderBy("g", "rn").collect().map(_.toSeq).toSeq ==
+      longLit(spark).orderBy("g", "rn").collect().map(_.toSeq).toSeq)
+    // explicit CAST(rn AS BIGINT) <= 5 — the op_topk_agg oracle's shape
+    def castRn(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").cast("long") <= 5)
+    assert(hasTopK(castRn(ss)), "cast-wrapped rn bound must rewrite")
+    assert(castRn(ss).orderBy("g", "rn").collect().map(_.toSeq).toSeq ==
+      castRn(spark).orderBy("g", "rn").collect().map(_.toSeq).toSeq)
+    // literal-first equality: 3L = rn
+    def eqFlip(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w)).filter(lit(3L) === col("rn"))
+    assert(hasTopK(eqFlip(ss)))
+    assert(eqFlip(ss).orderBy("g").collect().map(_.toSeq).toSeq ==
+      eqFlip(spark).orderBy("g").collect().map(_.toSeq).toSeq)
+    // a long bound past the heap contract still refuses
+    def big(sess: SparkSession) = frame(sess)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= lit(5000L))
+    assert(!hasTopK(big(ss)) && hasWindow(big(ss)))
+  }
+
   test("no misfire: lower-bound-only predicate has no k to extract") {
     val ss = onSession()
     val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
