@@ -622,9 +622,14 @@ object Dedup {
     * the min-aggregate is a map-side-combined `reduceByKey`, and the
     * two pointer jumps shuffle only the label frame. Each round's
     * labels are cached and the previous round's unpersisted — O(1)
-    * memory across rounds, executor-cache durability (same contract
-    * as localCheckpoint; a fault-tolerant deployment would checkpoint
-    * every ~10 rounds). */
+    * memory across rounds, executor-cache durability. RECOVERY
+    * CONTRACT: like the localCheckpoint default in
+    * [[graft.Checkpoints]], an executor loss mid-loop fails the job
+    * and a deterministic resubmit reproduces the labels; a
+    * fault-tolerant deployment checkpoints the label RDD every ~10
+    * rounds to the reliable dir (the RDD twin of
+    * `spark.graft.checkpoint.reliable` — not conf-wired here because
+    * the RDD loop manages its own persist/unpersist lifecycle). */
   private[graft] def componentsOf(verts: DataFrame, edges: DataFrame,
       localMaxPairs: Long = CC_LOCAL_MAX_PAIRS): DataFrame = {
     val spark = verts.sparkSession

@@ -214,24 +214,26 @@ object Graph {
           .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
       // the frontier is referenced twice per round (union + expansion
       // join) and its lineage deepens each round — each round is an
-      // EAGER localCheckpoint, truncating lineage so the next round's
-      // Catalyst pass stays shallow (the same plan-depth cost
-      // graph_kcore measures) and neither reference recomputes the
+      // EAGER truncation ([[graft.Checkpoints.truncate]]: executor-
+      // local by default, reliable checkpoint when
+      // spark.graft.checkpoint.reliable names a durable dir — the
+      // recovery contract lives on that object), keeping the next
+      // round's Catalyst pass shallow (the same plan-depth cost
+      // graph_kcore measures) and neither reference recomputing the
       // expansion. It is node-bounded, so the expansion join
       // broadcasts it and the edge list never reshuffles; at
       // billion-node scale drop the hint and AQE plans the shuffle
-      // join. Executor-cache durability, same contract as
-      // dedup_components' loop state.
+      // join.
       var front = edges.filter(col("src") < 10)
         .select(col("src").as("n")).distinct()
         .withColumn("hop", lit(0L))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(s))
       for (_ <- 1 to 3) {
         front = front
           .union(edges.join(broadcast(front.withColumnRenamed("n", "src")), "src")
             .select(col("dst").as("n"), (col("hop") + 1).as("hop")))
           .groupBy(col("n")).agg(min(col("hop")).as("hop"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.truncate(s))
       }
       front
     },
@@ -276,7 +278,7 @@ object Graph {
       for (r <- 1 to 3) {
         val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        // Both per-round frames are EAGER localCheckpoints: the round's
+        // Both per-round frames are EAGER truncations: the round's
         // result is materialized and its lineage truncated, so round
         // r+1's Catalyst pass optimizes a shallow plan over a
         // LogicalRDD instead of the whole accumulated tree — without
@@ -285,13 +287,14 @@ object Graph {
         // rows). keep is NODE-bounded (≤ the surviving core), so the
         // semi-joins broadcast it and the edge set never shuffles; for
         // a core too large to broadcast, drop the hint and AQE plans
-        // the shuffle semi-join. Executor-cache durability, same
-        // contract as dedup_components' loop state.
-        val keep = deg.filter(col("d") >= K).select(col("n")).localCheckpoint()
+        // the shuffle semi-join. Durability tier is conf-switched
+        // (graft.Checkpoints: local blocks by default, reliable
+        // checkpoint under spark.graft.checkpoint.reliable).
+        val keep = deg.filter(col("d") >= K).select(col("n")).transform(graft.Checkpoints.truncate(s))
         edges = edges
           .join(broadcast(keep.withColumnRenamed("n", "a")), Seq("a"), "left_semi")
           .join(broadcast(keep.withColumnRenamed("n", "b")), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .transform(graft.Checkpoints.truncate(s))
         rounds = rounds :+ keep.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
           .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
@@ -376,7 +379,8 @@ object Graph {
     * + one (node, label) count aggregate + a per-node rank over ≤
     * degree rows. The node-sized label frame broadcasts
     * ([[khop]]'s trade, same caveat) and each round is an eager
-    * localCheckpoint ([[kcore]]'s lineage-depth lesson). Emits the
+    * [[graft.Checkpoints.truncate]] ([[kcore]]'s lineage-depth
+    * lesson; durability tier conf-switched there). Emits the
     * final (n, label) assignment. */
   val labelProp: GQuery = GQuery(
     "graph_labelprop",
@@ -385,7 +389,7 @@ object Graph {
       val adj = pairs.select(col("a").as("n"), col("b").as("nbr"))
         .union(pairs.select(col("b").as("n"), col("a").as("nbr")))
       var labels = adj.select(col("n")).distinct()
-        .withColumn("lab", col("n")).localCheckpoint()
+        .withColumn("lab", col("n")).transform(graft.Checkpoints.truncate(s))
       for (_ <- 1 to 3) {
         val counted = adj
           .join(broadcast(labels.select(col("n").as("nbr"), col("lab"))), "nbr")
@@ -393,7 +397,7 @@ object Graph {
         val best = Window.partitionBy(col("n")).orderBy(col("c").desc, col("lab"))
         labels = counted
           .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-          .select(col("n"), col("lab")).localCheckpoint()
+          .select(col("n"), col("lab")).transform(graft.Checkpoints.truncate(s))
       }
       labels
     },

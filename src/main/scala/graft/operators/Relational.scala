@@ -1434,44 +1434,112 @@ object Relational {
     * 100 TB: rarest-first prefixes are inherently skew-resistant (hot
     * grams rank last and rarely enter prefixes); the candidate join
     * shuffles on gram value — bounded fan-out per rare gram; the
-    * verify is a hash join on doc_id. k=2 over the leading 24 chars. */
+    * verify is a hash join on doc_id. k=2 over the leading 24 chars.
+    *
+    * Two skew hatches closed (r16 verdict #5), both lossless:
+    * EQUAL-KEY GROUPING — identical keys collapse to one
+    * representative before the gram pipeline, so a flood of identical
+    * keys (dedup-worthy corpora) costs its own output, not a
+    * quadratic candidate join; HOT-GRAM SALTING — prefix grams above
+    * [[FUZZY_DF_CAP]] occurrences spread over [[FUZZY_SALT]] reducers
+    * (smaller side keyed by doc-hash, larger side replicated), so a
+    * pathological near-identical-but-distinct corpus distributes its
+    * inherent candidate mass instead of funneling df² pairs through
+    * one reducer. Neither drops a candidate — the adversarial spec
+    * pins bit-equality with brute force on a planted flood corpus
+    * plus a candidate count bounded by distinct-keys², not docs². */
+  /** Gram occurrence-count bound past which a gram key is "hot" in
+    * [[fuzzyRepCandidates]]' prefix self-join and gets the salted
+    * treatment (r16 verdict #5 — the df>64 bound the dedup_ngram
+    * blocking family established). */
+  private[graft] val FUZZY_DF_CAP = 64
+  /** Salt fan-out for hot grams: one hot gram key spreads over this
+    * many reducers instead of one reducer doing df² candidate work. */
+  private[graft] val FUZZY_SALT = 8
+
+  /** Lossless prefix-filtered candidate pairs over one-representative-
+    * per-distinct-key frames — see [[fuzzyJoin]] for the theory.
+    * Exposed for the adversarial spec to pin candidate-count bounds.
+    * Hot grams (occurrence count > [[FUZZY_DF_CAP]]) are SALTED, not
+    * dropped: the smaller-id side keys each occurrence by
+    * hash(doc_id) mod [[FUZZY_SALT]], the larger-id side replicates
+    * across all salts, so every pair still meets exactly once and no
+    * single reducer owns a hot gram's full df² fan-out. Losslessness
+    * is untouched — salting redistributes candidates, never drops. */
+  private[graft] def fuzzyRepCandidates(docs: DataFrame, q: Int, k: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), length(col("t")).as("len"),
+        posexplode(expr(s"transform(sequence(1, length(t)-$q+1), i -> substring(t, i, $q))")))
+      .withColumnRenamed("col", "g")
+    // rarest-first global order on gram VALUES (df asc, gram asc);
+    // gdf is tiny (distinct 2-grams of the corpus alphabet) → broadcast
+    val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = grams.join(broadcast(gdf), "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"), col("pos"))))
+      .filter(col("rk") <= k * q + 1)
+      .select(col("g"), col("pos"), col("doc_id"), col("len"), col("df"))
+    val hot = col("df") > FUZZY_DF_CAP
+    val small = prefix.withColumn("salt",
+      when(hot, pmod(hash(col("doc_id")), lit(FUZZY_SALT))).otherwise(lit(0)))
+    val large = prefix.withColumn("salt", explode(
+      when(hot, sequence(lit(0), lit(FUZZY_SALT - 1))).otherwise(array(lit(0)))))
+    small.as("a").join(large.as("b"),
+        col("a.g") === col("b.g") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.pos") - col("b.pos")) <= k &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** The full exact edit-distance self-join over a (doc_id, t) frame:
+    * equal-key grouping → prefix-filtered candidates over the
+    * representatives → levenshtein verify → expansion back to doc
+    * pairs. Factored out of the registry key so the adversarial spec
+    * can run it over a planted corpus. */
+  private[graft] def fuzzyJoinOn(docsAll: DataFrame, q: Int, k: Int): DataFrame = {
+    // EQUAL-KEY GROUPING (r16 verdict #5): identical keys never enter
+    // the gram pipeline — one representative (min doc_id) per distinct
+    // key. A planted flood of identical keys costs its own output
+    // size (the pairs genuinely exist at distance 0), never a
+    // quadratic candidate join through the gram index.
+    val groups = docsAll.groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
+    val docs = groups.select(col("rep").as("doc_id"), col("t"))
+    val repPairs = fuzzyRepCandidates(docs, q, k)
+      .join(docs.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2")))
+      .filter(col("dist") <= k)
+      .select(col("d1").as("r1"), col("d2").as("r2"), col("dist"))
+    // EXPANSION: levenshtein depends only on the texts, so every
+    // member of r1's equal-key group pairs with every member of r2's
+    // at the verified distance (equi-joins, output-bounded) …
+    val members = docsAll.join(groups, "t").select(col("doc_id"), col("rep"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.rep") === col("r1"))
+      .join(members.as("mb"), col("mb.rep") === col("r2"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("d1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("d2"), col("dist"))
+    // … and identical texts pair at distance 0 by definition
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(0).as("dist"))
+    cross.unionByName(intra).orderBy(col("d1"), col("d2"))
+  }
+
   val fuzzyJoin: GQuery = GQuery(
     "op_fuzzy_join",
     (s, dir) => {
       val q = 2
-      val k = 2
       // Contract: join keys must be ≥ q chars (shorter keys have no
       // grams; a general caller routes them through a tiny short-key
       // bucket). This corpus floors at 44 chars, so the guard is free.
-      val docs = Tables.documents(s, dir)
+      val docsAll = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
         .filter(length(col("t")) >= q)
-      val grams = docs
-        .select(col("doc_id"), length(col("t")).as("len"),
-          posexplode(expr(s"transform(sequence(1, length(t)-$q+1), i -> substring(t, i, $q))")))
-        .withColumnRenamed("col", "g")
-      // rarest-first global order on gram VALUES (df asc, gram asc);
-      // gdf is tiny (distinct 2-grams of the corpus alphabet) → broadcast
-      val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val prefix = grams.join(broadcast(gdf), "g")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"), col("pos"))))
-        .filter(col("rk") <= k * q + 1)
-        .select(col("g"), col("pos"), col("doc_id"), col("len"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.g") === col("b.g") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.pos") - col("b.pos")) <= k &&
-            abs(col("a.len") - col("b.len")) <= k)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
-        .join(docs.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
-        .withColumn("dist", levenshtein(col("t1"), col("t2")))
-        .filter(col("dist") <= k)
-        .select(col("d1"), col("d2"), col("dist"))
-        .orderBy(col("d1"), col("d2"))
+      fuzzyJoinOn(docsAll, q, k = 2)
     },
     Some("""
       WITH t AS (SELECT doc_id, substr(text, 1, 24) AS t FROM documents)

@@ -973,7 +973,10 @@ object Ann {
     * Lineage discipline (the [[graft.graph.Graph]] kcore lesson,
     * A/B-measured at sf0.1, dev/BENCH_NOTES.md): the three iterated
     * frames — cand, sims, and each round's picked set — are EAGER
-    * localCheckpoints, truncating the plan that otherwise regrows
+    * [[graft.Checkpoints.truncate]] calls (executor-local blocks by
+    * default; reliable checkpoint under
+    * `spark.graft.checkpoint.reliable` — recovery contract on that
+    * object), truncating the plan that otherwise regrows
     * through the 4 unrolled rounds: 12.8 s lineage-recomputed →
     * 3.3 s checkpointed (health-accepted). `persist()` instead of
     * checkpointing was tried and REFUTED (32.6 s: it defeats the
@@ -998,7 +1001,7 @@ object Ann {
         .withColumn("rk", row_number().over(wc))
         .filter(col("rk") <= 20)
         .select(col("query_id"), col("vec_id"), col("cosine"), col("e"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(s))
       val sims = cand.select(col("query_id"), col("vec_id").as("va"), col("e").as("ea"))
         .join(cand.select(col("query_id"), col("vec_id").as("vb"), col("e").as("eb")),
           Seq("query_id"))
@@ -1008,7 +1011,7 @@ object Ann {
             (sqrt(expr("dot_long(ea, ea)").cast("double")) *
               sqrt(expr("dot_long(eb, eb)").cast("double"))))
         .select(col("query_id"), col("va"), col("vb"), col("sim"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(s))
       val bare = cand.select(col("query_id"), col("vec_id"), col("cosine"))
       var sel = bare
         .withColumn("pk", row_number().over(wc))
@@ -1016,7 +1019,7 @@ object Ann {
         .select(col("query_id"), col("vec_id"),
           (lit(0.7) * col("cosine")).as("score"), lit(1L).as("round"))
       for (r <- 2 to 5) {
-        val picked = sel.select(col("query_id"), col("vec_id")).localCheckpoint()
+        val picked = sel.select(col("query_id"), col("vec_id")).transform(graft.Checkpoints.truncate(s))
         val ms = sims
           .join(picked.withColumnRenamed("vec_id", "vb"), Seq("query_id", "vb"))
           .groupBy(col("query_id"), col("va").as("vec_id"))

@@ -64,4 +64,29 @@ class GraphSpec extends SparkSpecBase {
       Caches.release()
     }
   }
+
+  test("reliable checkpoint conf: iterated frames survive via DFS files, results unchanged") {
+    // r16 verdict #4: `spark.graft.checkpoint.reliable=<dir>` switches
+    // every Checkpoints.truncate site from executor-local blocks to
+    // reliable checkpoint files. Run an iterated-frame operator (kcore:
+    // six truncations across three rounds) under the conf on a child
+    // session, pin (a) bit-identical results vs the default path and
+    // (b) checkpoint files actually written under the conf'd dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ss = spark.newSession()
+    ss.conf.set(Checkpoints.ReliableDirConf, dir)
+    try {
+      val reliable = SparkEntry.queries("graph_kcore")(ss, sfDir)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      val default = SparkEntry.queries("graph_kcore")(spark, sfDir)
+        .orderBy(col("round")).collect().map(_.toSeq).toSeq
+      assert(reliable == default, "reliable path changed kcore results")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $dir — the reliable path never engaged")
+    } finally {
+      Caches.release()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
