@@ -1428,8 +1428,10 @@ object Relational {
     * first-char heuristics. Two further lossless filters cut
     * candidates: matched grams must sit within k positions (one edit
     * shifts positions by ≤ 1), and a length filter |len(s)−len(t)| ≤ k.
-    * Survivors are verified with the real `levenshtein`, so output =
-    * brute force exactly (the oracle IS the brute-force cross join —
+    * Survivors are verified with the real `levenshtein` in its
+    * THRESHOLD form (banded DP, exact distance when ≤ k else -1 — same
+    * kept rows, same dist values, ~(2k+1)/n of the DP work), so output
+    * = brute force exactly (the oracle IS the brute-force cross join —
     * bit-equality proves losslessness; the spec re-proves it in-plan).
     * 100 TB: rarest-first prefixes are inherently skew-resistant (hot
     * grams rank last and rarely enter prefixes); the candidate join
@@ -1509,8 +1511,14 @@ object Relational {
     val repPairs = fuzzyRepCandidates(docs, q, k)
       .join(docs.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
-      .withColumn("dist", levenshtein(col("t1"), col("t2")))
-      .filter(col("dist") <= k)
+      // threshold form: banded DP over a 2k+1 diagonal strip with early
+      // abandon, O((2k+1)·n) per pair vs the full O(n²) table; returns
+      // the exact distance when ≤ k and -1 otherwise, so `>= 0` keeps
+      // precisely the `dist <= k` rows with identical dist values
+      // (guide §1.2 step 2 — per-task work; the verify dominates this
+      // operator's wall time and both filters are codegen built-ins)
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
+      .filter(col("dist") >= 0)
       .select(col("d1").as("r1"), col("d2").as("r2"), col("dist"))
     // EXPANSION: levenshtein depends only on the texts, so every
     // member of r1's equal-key group pairs with every member of r2's

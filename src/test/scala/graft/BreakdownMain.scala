@@ -11,6 +11,13 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * rows), so a ">Nx vs DuckDB" residue can be attributed to a stage
   * instead of adjudicated from wall-clock alone.
   *
+  * Maintained dev tool (r16 verdict #7): alongside the human-readable
+  * tree, `SPARK_GRAFT_BREAKDOWN_JSON=<path>` writes one JSON line per
+  * plan node ({depth, node, metrics{...}}) so residue adjudications
+  * can diff breakdowns mechanically; dev/breakdown.sh wraps the
+  * invocation. The per-stage floor constant this tool measured lives
+  * in dev/BENCH_NOTES.md ("stage floor").
+  *
   * Usage: Test/runMain graft.BreakdownMain <sfDir> <key> [warmRuns]
   */
 object BreakdownMain {
@@ -39,7 +46,36 @@ object BreakdownMain {
     println(s"rows=$nRows")
     println(f"== $key  wall=$wall%.3f s (measured run, after $warm warm) ==")
     walk(df.queryExecution.executedPlan, 0)
+    sys.env.get("SPARK_GRAFT_BREAKDOWN_JSON").foreach { path =>
+      val sb = new StringBuilder
+      sb.append(s"""{"key": "$key", "sf_dir": "$sfDir", "wall_sec": ${f"$wall%.3f"}, "rows": $nRows}""").append('\n')
+      jsonWalk(df.queryExecution.executedPlan, 0, sb)
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[breakdown] json -> $path")
+    }
     spark.stop()
+  }
+
+  /** Raw metric value with its type-derived unit, for the JSON dump. */
+  private def metricJson(m: org.apache.spark.sql.execution.metric.SQLMetric): String =
+    if (m.metricType == "timing") s"""{"ms": ${m.value}}"""
+    else if (m.metricType == "nsTiming") s"""{"ms": ${m.value / 1000000}}"""
+    else if (m.metricType == "size") s"""{"bytes": ${m.value}}"""
+    else s"""{"n": ${m.value}}"""
+
+  private def jsonWalk(p: SparkPlan, depth: Int, sb: StringBuilder): Unit = {
+    val ms = p.metrics.toSeq.filter(_._2.value > 0).sortBy(_._1)
+      .map { case (n, m) => s""""${n.replaceAll("[\"\\\\]", "")}": ${metricJson(m)}""" }
+    sb.append(s"""{"depth": $depth, "node": "${p.nodeName}", "metrics": {${ms.mkString(", ")}}}""")
+      .append('\n')
+    p match {
+      case a: AdaptiveSparkPlanExec => jsonWalk(a.executedPlan, depth + 1, sb)
+      case q: QueryStageExec => jsonWalk(q.plan, depth + 1, sb)
+      case r: ReusedExchangeExec =>
+        sb.append(s"""{"depth": ${depth + 1}, "node": "(reused: ${r.child.nodeName})", "metrics": {}}""").append('\n')
+      case _ => p.children.foreach(jsonWalk(_, depth + 1, sb))
+    }
   }
 
   private def walk(p: SparkPlan, depth: Int): Unit = {

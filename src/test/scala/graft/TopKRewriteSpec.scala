@@ -190,6 +190,19 @@ class TopKRewriteSpec extends SparkSpecBase {
     assert(!hasTopK(big(ss)) && hasWindow(big(ss)))
   }
 
+  test("documented negative: op_topk_per_group stays a window under the rule (r17)") {
+    // The registry key's order attrs (v_cents, event_id) come off a
+    // parquet corpus whose columns are OPTIONAL → nullable, and the
+    // rule correctly refuses nullable order keys (the heap skips
+    // nulls where row_number ranks them). This pins the r17 adoption
+    // A/B's negative verdict: opting the key's frame into the rewrite
+    // changes nothing — the plan keeps its Window.
+    val ss = onSession()
+    val q = Registry.byName("op_topk_per_group").build(ss, sfDir)
+    assert(q.schema("v_cents").nullable, "premise: corpus order key is nullable")
+    assert(!hasTopK(q) && hasWindow(q))
+  }
+
   test("no misfire: lower-bound-only predicate has no k to extract") {
     val ss = onSession()
     val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("p"))
