@@ -1468,7 +1468,16 @@ object Relational {
     * across all salts, so every pair still meets exactly once and no
     * single reducer owns a hot gram's full df² fan-out. Losslessness
     * is untouched — salting redistributes candidates, never drops. */
-  private[graft] def fuzzyRepCandidates(docs: DataFrame, q: Int, k: Int): DataFrame = {
+  private[graft] def fuzzyRepCandidates(docs: DataFrame, q: Int, k: Int): DataFrame =
+    fuzzyRepCandidatesDup(docs, q, k).distinct()
+
+  /** [[fuzzyRepCandidates]] WITHOUT the final distinct — a pair appears
+    * once per shared prefix-gram instance (bounded by the q·k+1 prefix
+    * width). The verify path consumes this frame and distincts AFTER
+    * the threshold-levenshtein filter, where the row set is output-
+    * bounded, instead of hash-aggregating the multi-million-row
+    * candidate frame (r17 A/B, dev/BENCH_NOTES.md). */
+  private[graft] def fuzzyRepCandidatesDup(docs: DataFrame, q: Int, k: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), length(col("t")).as("len"),
         posexplode(expr(s"transform(sequence(1, length(t)-$q+1), i -> substring(t, i, $q))")))
@@ -1492,7 +1501,6 @@ object Relational {
           abs(col("a.pos") - col("b.pos")) <= k &&
           abs(col("a.len") - col("b.len")) <= k)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
   }
 
   /** The full exact edit-distance self-join over a (doc_id, t) frame:
@@ -1508,7 +1516,14 @@ object Relational {
     // quadratic candidate join through the gram index.
     val groups = docsAll.groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
     val docs = groups.select(col("rep").as("doc_id"), col("t"))
-    val repPairs = fuzzyRepCandidates(docs, q, k)
+    // LATE DISTINCT (r17 A/B): candidates keep their per-shared-gram
+    // duplicates (multiplicity ≤ the q·k+1 prefix width) through the
+    // cheap banded verify, and the distinct runs on the verified,
+    // output-bounded pair set — erasing the two-phase hash aggregate
+    // over the multi-million-row candidate frame that the breakdown
+    // attributed the key's residue to (guide §2.3: aggregate the small
+    // thing, not the big thing).
+    val repPairs = fuzzyRepCandidatesDup(docs, q, k)
       .join(docs.select(col("doc_id").as("d1"), col("t").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("t").as("t2")), "d2")
       // threshold form: banded DP over a 2k+1 diagonal strip with early
@@ -1520,6 +1535,7 @@ object Relational {
       .withColumn("dist", levenshtein(col("t1"), col("t2"), k))
       .filter(col("dist") >= 0)
       .select(col("d1").as("r1"), col("d2").as("r2"), col("dist"))
+      .distinct()
     // EXPANSION: levenshtein depends only on the texts, so every
     // member of r1's equal-key group pairs with every member of r2's
     // at the verified distance (equi-joins, output-bounded) …

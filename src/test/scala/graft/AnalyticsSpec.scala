@@ -351,6 +351,14 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(distinctKeys == 71)
     assert(candN <= distinctKeys * (distinctKeys - 1) / 2,
       s"candidates $candN exceed distinct-key pair bound")
+    // the verify path consumes the dup-preserving frame (r17 late
+    // distinct): a pair's multiplicity is bounded by matching prefix
+    // gram instances — ≤ (q·k+1)² per pair, so the frame stays
+    // output-shaped, never quadratic in docs
+    val candDupN = operators.Relational.fuzzyRepCandidatesDup(reps, 2, 2).count()
+    val pw = 2 * 2 + 1
+    assert(candDupN <= pw.toLong * pw * distinctKeys * (distinctKeys - 1) / 2,
+      s"dup candidates $candDupN exceed the prefix-width multiplicity bound")
     // and the hot path really ran: the near-identical family's grams
     // exceed the df cap
     val hotGrams = reps
