@@ -20,6 +20,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
 done
-SPARK_GRAFT_BREAKDOWN_JSON="$OUT_JSON" java $AO -Xmx24g \
+# only export the env var when OUT_JSON is non-empty — an exported
+# empty value would make BreakdownMain's Files.write(Paths.get(""))
+# throw after the tree prints instead of skipping (r17 advice)
+env ${OUT_JSON:+SPARK_GRAFT_BREAKDOWN_JSON="$OUT_JSON"} java $AO -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.BreakdownMain "$SF" "$KEY" "$WARM"

@@ -26,10 +26,16 @@ package graft
   *     metric/value/unit/sf/n, warm sentinel as median-of-3 plus the
   *     raw `warm3` triple, machine load at [start,end] of the run,
   *     `slow` = named [min,med,max] for the top-5 most expensive keys,
-  *     `hidden` = {n,max} count and value-bound of
-  *     full-line entries the window cannot show, and `failed` (capped).
-  *     This line is what `parsed` captures; it never self-trims
-  *     because its size is independent of the registry's key count.
+  *     a `queries` map holding as many per-key seconds as the window
+  *     affords, MOST-EXPENSIVE-FIRST (r17 verdict #1: PERF's per_query
+  *     came back empty every round because the only queries map rode
+  *     the clipped stdout line — the parse target now carries the keys
+  *     a regression debate is actually about; `qmore` counts the
+  *     omitted cheap tail, every one of which is bounded above by the
+  *     cheapest included key), `hidden` = {n,max} count and value-bound
+  *     of full-line entries the window cannot show, and `failed`
+  *     (capped). This line is what `parsed` captures; the queries fill
+  *     is budgeted against the tail window so it never overflows it.
   *
   * Float encoding: fixed 2-decimal, then trailing zeros stripped
   * ("0.20"→"0.2", "1.00"→"1") — still valid JSON (leading digit kept),
@@ -206,13 +212,45 @@ object BenchFormat {
       case (0, 0, 0) => ""
       case (t, a, r) => s""","chunks":{"n":$t,"acc":$a,"retry":$r}"""
     }
-    def compactWith(hiddenN: Int, hiddenMax: Double): String =
+    def compactWith(hiddenN: Int, hiddenMax: Double, queriesJson: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n":$n,""" +
         s""""warm":${f2(warmMed)},"warm3":[${warm3.map(f2).mkString(",")}]$warmMidJson$layoutJson$chunksJson,""" +
-        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$healthJson$floorJson$duckJson,"slow":$slow""" +
+        s""""load":[${f2(loads._1)},${f2(loads._2)}],"steal":${f2(stealPct)}$healthJson$floorJson$duckJson,"slow":$slow$queriesJson""" +
         (if (hiddenN > 0) s""","hidden":{"n":$hiddenN,"max":${f2(hiddenMax)}}""" else "") +
         (if (failedMore > 0) s""","failed":$failedCapped,"failed_more":$failedMore}"""
          else s""","failed":$failedCapped}""")
+
+    // per-query fill (r17 verdict #1): greedily pack most-expensive-
+    // first per-key seconds into the compact line until the tail-window
+    // budget is spent. The budget is computed against the line WITHOUT
+    // the queries map plus a fixed reserve for the hidden field's size
+    // wobble, so the filled line still parses behind the worst-case sbt
+    // trailer at any registry size.
+    val expensiveFirst = ok.sortBy { case (k, ts) => (-ts.head, k) }
+    val qBudget = {
+      val baseLen = compactWith(entries.size, 9999.99, "").length
+      TailWindow - TrailerWorst - 2 - 40 - baseLen
+    }
+    val qJson = {
+      val wrapOverhead = ""","queries":{}""".length + ""","qmore":999""".length
+      // stop at the FIRST non-fitting entry so the included set is an
+      // exact most-expensive prefix: every omitted key's min is then
+      // provably <= the cheapest included key's
+      var used = wrapOverhead
+      val taken = Vector.newBuilder[String]
+      var nTaken = 0
+      var fits = true
+      while (fits && nTaken < expensiveFirst.size) {
+        val (k, ts) = expensiveFirst(nTaken)
+        val e = s""""$k":${f2(ts.head)}"""
+        if (used + e.length + 1 <= qBudget) { taken += e; used += e.length + 1; nTaken += 1 }
+        else fits = false
+      }
+      val omitted = expensiveFirst.size - nTaken
+      if (nTaken == 0) ""
+      else s""","queries":{${taken.result().mkString(",")}}""" +
+        (if (omitted > 0) s""","qmore":$omitted""" else "")
+    }
 
     // hidden = full-line queries entries whose first char falls outside
     // the tail window once the compact line + trailer are behind them.
@@ -238,12 +276,12 @@ object BenchFormat {
       }
     }
     var hid = (0, 0.0)
-    var compact = compactWith(hid._1, hid._2)
+    var compact = compactWith(hid._1, hid._2, qJson)
     var stable = false
     var iter = 0
     while (!stable && iter < 4) {
       val next = clipped(compact.length)
-      val nextLine = compactWith(next._1, next._2)
+      val nextLine = compactWith(next._1, next._2, qJson)
       stable = nextLine == compact
       hid = next
       compact = nextLine

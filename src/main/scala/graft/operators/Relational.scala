@@ -1472,8 +1472,11 @@ object Relational {
     fuzzyRepCandidatesDup(docs, q, k).distinct()
 
   /** [[fuzzyRepCandidates]] WITHOUT the final distinct — a pair appears
-    * once per shared prefix-gram instance (bounded by the q·k+1 prefix
-    * width). The verify path consumes this frame and distincts AFTER
+    * once per shared prefix-gram instance PAIR: each of a's ≤ q·k+1
+    * prefix instances can meet each of b's, so the per-pair
+    * multiplicity bound is the SQUARE (q·k+1)² of the prefix width
+    * (the bound AnalyticsSpec's flood pin asserts; r17 advice).
+    * The verify path consumes this frame and distincts AFTER
     * the threshold-levenshtein filter, where the row set is output-
     * bounded, instead of hash-aggregating the multi-million-row
     * candidate frame (r17 A/B, dev/BENCH_NOTES.md). */
@@ -1517,7 +1520,8 @@ object Relational {
     val groups = docsAll.groupBy(col("t")).agg(min(col("doc_id")).as("rep"))
     val docs = groups.select(col("rep").as("doc_id"), col("t"))
     // LATE DISTINCT (r17 A/B): candidates keep their per-shared-gram
-    // duplicates (multiplicity ≤ the q·k+1 prefix width) through the
+    // duplicates (multiplicity ≤ (q·k+1)², the square of the prefix
+    // width — every a-prefix instance can meet every b-prefix) through the
     // cheap banded verify, and the distinct runs on the verified,
     // output-bounded pair set — erasing the two-phase hash aggregate
     // over the multi-million-row candidate frame that the breakdown

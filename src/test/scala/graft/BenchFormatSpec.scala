@@ -44,9 +44,51 @@ class BenchFormatSpec extends AnyFunSuite {
       chunks = (chunkCount, chunkCount - 3, 9))
     assert(l.compact.length + BenchFormat.TrailerWorst + 2 <= BenchFormat.TailWindow,
       s"compact line ${l.compact.length} chars cannot parse behind the sbt trailer")
-    // and with generous margin in the realistic case
+    // the realistic case also fits — the queries fill is budgeted, not
+    // bounded by luck (r17 verdict #1: the fill must never overflow the
+    // window it exists to ride)
     val quiet = mk(res(Map.empty), "0.1", 3, Seq(0.2, 0.31, 0.3), (0.1, 0.2))
-    assert(quiet.compact.length < 700, s"compact grew to ${quiet.compact.length} chars")
+    assert(quiet.compact.length + BenchFormat.TrailerWorst + 2 <= BenchFormat.TailWindow,
+      s"compact grew to ${quiet.compact.length} chars")
+  }
+
+  test("compact line carries a most-expensive-prefix queries map with qmore accounting") {
+    val times = keys.zipWithIndex.map { case (k, i) =>
+      k -> Seq(0.1 + i * 0.05, 0.2 + i * 0.05, 0.3 + i * 0.05)
+    }.toMap
+    val l = mk(res(times), "0.1", 3, Seq(0.3, 0.3, 0.3), (0.1, 0.1))
+    val compact = parse(l.compact)
+    val q = (compact \ "queries").asInstanceOf[JObject].obj
+    assert(q.nonEmpty, "compact line lacks a queries map (r17 verdict #1)")
+    // most-expensive-first, and an exact prefix of the cost ranking:
+    // every omitted key's min is <= the cheapest included key's min
+    val inOrder = q.map { case (k, v) => (k, v.values.toString.toDouble) }
+    assert(inOrder.map(_._2) == inOrder.map(_._2).sorted.reverse, "queries not cost-descending")
+    val qmore = compact \ "qmore"
+    if (qmore != JNothing) {
+      val omitted = keys.toSet -- q.map(_._1).toSet
+      val cheapestIncluded = inOrder.map(_._2).min
+      omitted.foreach { k =>
+        assert(times(k).min <= cheapestIncluded + 1e-9, s"$k omitted but more expensive")
+      }
+      assert(qmore == JInt(omitted.size))
+    } else assert(q.size == keys.size)
+    // values are the per-key mins, same as the full line's
+    val fullQ = (parse(l.full) \ "queries").asInstanceOf[JObject].obj.toMap
+    q.foreach { case (k, v) => assert(v == fullQ(k), s"$k differs between lines") }
+  }
+
+  test("mergeAttempts admits times from rejected windows (min-over-all-attempts rule)") {
+    val rejected = Bench.ChunkAttempt(accepted = false, 0.9, 0.8, 5.0,
+      Map("k1" -> Seq(1.0, 1.4)), Map.empty)
+    val accepted = Bench.ChunkAttempt(accepted = true, 0.2, 0.2, 0.1,
+      Map("k1" -> Seq(1.2, 1.3)), Map.empty)
+    val merged = Bench.mergeAttempts(Seq(rejected, accepted), "k1")
+    assert(merged == Seq(1.0, 1.2, 1.3, 1.4))
+    // the rejected window's faster cold run IS the canonical min —
+    // storms only inflate, so acceptance gates health, not evidence
+    assert(merged.head == 1.0)
+    assert(Bench.mergeAttempts(Seq(rejected, accepted), "absent").isEmpty)
   }
 
   test("chunks gate triple rides the compact line only when chunking ran") {
@@ -137,8 +179,11 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(l.hiddenN == expectHidden, s"hidden ${l.hiddenN} vs recomputed $expectHidden")
       val expectMax = order.take(expectHidden).map(k => times(k).min).max
       assert(math.abs(l.hiddenMax - expectMax) < 1e-9)
-      // the survivors include every key the spread debate could be about
-      assert(order.drop(expectHidden).map(k => times(k).min).min >= l.hiddenMax)
+      // the survivors (if any — the queries-filled compact line can
+      // displace the whole full line) include every key the spread
+      // debate could be about
+      val survivors = order.drop(expectHidden).map(k => times(k).min)
+      if (survivors.nonEmpty) assert(survivors.min >= l.hiddenMax)
     } else assert(l.hiddenN == 0)
   }
 

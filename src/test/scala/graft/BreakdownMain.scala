@@ -46,7 +46,7 @@ object BreakdownMain {
     println(s"rows=$nRows")
     println(f"== $key  wall=$wall%.3f s (measured run, after $warm warm) ==")
     walk(df.queryExecution.executedPlan, 0)
-    sys.env.get("SPARK_GRAFT_BREAKDOWN_JSON").foreach { path =>
+    sys.env.get("SPARK_GRAFT_BREAKDOWN_JSON").filter(_.nonEmpty).foreach { path =>
       val sb = new StringBuilder
       sb.append(s"""{"key": "$key", "sf_dir": "$sfDir", "wall_sec": ${f"$wall%.3f"}, "rows": $nRows}""").append('\n')
       jsonWalk(df.queryExecution.executedPlan, 0, sb)
@@ -67,13 +67,16 @@ object BreakdownMain {
   private def jsonWalk(p: SparkPlan, depth: Int, sb: StringBuilder): Unit = {
     val ms = p.metrics.toSeq.filter(_._2.value > 0).sortBy(_._1)
       .map { case (n, m) => s""""${n.replaceAll("[\"\\\\]", "")}": ${metricJson(m)}""" }
-    sb.append(s"""{"depth": $depth, "node": "${p.nodeName}", "metrics": {${ms.mkString(", ")}}}""")
+    // node names get the same quote/backslash scrub as metric names so
+    // no name can break the JSONL dump (r17 advice)
+    def clean(s: String): String = s.replaceAll("[\"\\\\]", "")
+    sb.append(s"""{"depth": $depth, "node": "${clean(p.nodeName)}", "metrics": {${ms.mkString(", ")}}}""")
       .append('\n')
     p match {
       case a: AdaptiveSparkPlanExec => jsonWalk(a.executedPlan, depth + 1, sb)
       case q: QueryStageExec => jsonWalk(q.plan, depth + 1, sb)
       case r: ReusedExchangeExec =>
-        sb.append(s"""{"depth": ${depth + 1}, "node": "(reused: ${r.child.nodeName})", "metrics": {}}""").append('\n')
+        sb.append(s"""{"depth": ${depth + 1}, "node": "(reused: ${clean(r.child.nodeName)})", "metrics": {}}""").append('\n')
       case _ => p.children.foreach(jsonWalk(_, depth + 1, sb))
     }
   }
